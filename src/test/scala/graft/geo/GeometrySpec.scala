@@ -1,0 +1,82 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeometrySpec extends AnyFunSuite {
+  // unit square
+  private val square = Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0)
+  // diamond centered (5,5), half-widths 4
+  private val diamond = Array(9.0, 5.0, 5.0, 9.0, 1.0, 5.0, 5.0, 1.0)
+  // concave "L"
+  private val ell = Array(0.0, 0.0, 10.0, 0.0, 10.0, 4.0, 4.0, 4.0, 4.0, 10.0, 0.0, 10.0)
+
+  test("point in convex polygons") {
+    assert(Geometry.pointInPolygon(5, 5, square))
+    assert(!Geometry.pointInPolygon(11, 5, square))
+    assert(!Geometry.pointInPolygon(-0.1, 5, square))
+    assert(Geometry.pointInPolygon(5, 5, diamond))
+    assert(Geometry.pointInPolygon(8.5, 5.0, diamond))
+    assert(!Geometry.pointInPolygon(8.5, 8.5, diamond)) // corner of bbox, outside diamond
+  }
+
+  test("concave polygon") {
+    assert(Geometry.pointInPolygon(2, 8, ell))
+    assert(Geometry.pointInPolygon(8, 2, ell))
+    assert(!Geometry.pointInPolygon(8, 8, ell)) // the notch
+  }
+
+  test("diamond membership agrees with |dx|/w + |dy|/h < 1 (the SQL-oracle form)") {
+    val rnd = new java.util.Random(42L)
+    (0 until 20000).foreach { _ =>
+      val x = rnd.nextDouble() * 12 - 1
+      val y = rnd.nextDouble() * 12 - 1
+      val alg = math.abs(x - 5.0) / 4.0 + math.abs(y - 5.0) / 4.0
+      if (math.abs(alg - 1.0) > 1e-9) { // off-boundary points only
+        assert(Geometry.pointInPolygon(x, y, diamond) == (alg < 1.0), s"($x,$y) alg=$alg")
+      }
+    }
+  }
+
+  test("bbox") {
+    assert(Geometry.bbox(diamond) == ((1.0, 1.0, 9.0, 9.0)))
+  }
+
+  test("cellCover is a superset of cells containing interior points") {
+    val rnd = new java.util.Random(7L)
+    Seq(square, diamond, ell).foreach { ring =>
+      val res = 6
+      val cover = Geometry.cellCover(ring, res).toSet
+      (0 until 5000).foreach { _ =>
+        val x = rnd.nextDouble() * 12 - 1
+        val y = rnd.nextDouble() * 12 - 1
+        if (Geometry.pointInPolygon(x, y, ring)) {
+          val c = CellIndex.latLonToCell(y, x, res)
+          assert(cover.contains(c), s"cover misses cell of interior point ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("cellCover is reasonably tight (not the whole bbox for the diamond)") {
+    val res = 8
+    val cover = Geometry.cellCover(diamond, res)
+    val (xmin, ymin, xmax, ymax) = Geometry.bbox(diamond)
+    val c0 = CellIndex.latLonToCell(ymin, xmin, res)
+    val c1 = CellIndex.latLonToCell(ymax, xmax, res)
+    val bboxCells = (CellIndex.ix(c1) - CellIndex.ix(c0) + 1) * (CellIndex.iy(c1) - CellIndex.iy(c0) + 1)
+    assert(cover.length < bboxCells * 0.8, s"${cover.length} vs bbox $bboxCells")
+  }
+
+  test("segment-box intersection") {
+    assert(Geometry.segmentIntersectsBox(-1, 5, 11, 5, 0, 0, 10, 10)) // crosses through
+    assert(Geometry.segmentIntersectsBox(5, 5, 6, 6, 0, 0, 10, 10))   // inside
+    assert(!Geometry.segmentIntersectsBox(-5, -5, -1, -1, 0, 0, 10, 10))
+    assert(!Geometry.segmentIntersectsBox(11, 0, 11, 10, 0, 0, 10, 10))
+    assert(!Geometry.segmentIntersectsBox(-2, 12, 12, 12.5, 0, 0, 10, 10)) // line above box
+  }
+
+  test("degenerate rings") {
+    assert(!Geometry.pointInPolygon(0, 0, Array(1.0, 1.0)))
+    assert(!Geometry.pointInPolygon(0, 0, Array(1.0, 1.0, 2.0, 2.0)))
+  }
+}
