@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Utf8
+import graft.geo.{CellIndex, Geometry}
+import graft.parse.{Extractor, HtmlParser}
+
+/**
+ * Custom Catalyst expressions (SURVEY.md §7.3). Design rules:
+ *  - cell arithmetic is `doGenCode`-ed (pure static calls → stays inside
+ *    whole-stage codegen; hot at 10^12 rows);
+ *  - the HTML parser is eval-only (a parser can't be usefully inlined into
+ *    generated Java), exposed as scalar kernels + Generators (the UDTF
+ *    slot, reference: tools/search.py:205-211 query-execute fan-out);
+ *  - extraction output stays BinaryType until the last moment so invalid
+ *    UTF-8 survives Catalyst boundaries byte-identically (SURVEY §7.4-1).
+ */
+
+// ---------------------------------------------------------------------------
+// Scalar: cell index (codegen'd — the 10^12-row hot path)
+// ---------------------------------------------------------------------------
+
+case class CellIdExpr(lat: Expression, lon: Expression, res: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = res
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(la: Any, lo: Any, r: Any): Any =
+    CellIndex.latLonToCell(la.asInstanceOf[Double], lo.asInstanceOf[Double], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, r) => s"graft.geo.CellIndex.latLonToCell($la, $lo, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(lat = f, lon = s, res = t)
+}
+
+case class CellParentExpr(cell: Expression, parentRes: Expression) extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = parentRes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    CellIndex.parent(c.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.geo.CellIndex.parent($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(cell = l, parentRes = r)
+}
+
+case class CellCenterLatExpr(cell: Expression) extends UnaryExpression {
+  override def child: Expression = cell
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any = CellIndex.centerLat(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geo.CellIndex.centerLat($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(cell = c)
+}
+
+case class CellCenterLonExpr(cell: Expression) extends UnaryExpression {
+  override def child: Expression = cell
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any = CellIndex.centerLon(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geo.CellIndex.centerLon($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(cell = c)
+}
+
+/** Exact point-in-polygon predicate (the post-equi-join refinement of the
+ * two-phase spatial join, SURVEY §2.3 J5). Ring = ArrayType(DoubleType)
+ * interleaved [x0,y0,x1,y1,…]. Codegen'd: one static call per row. */
+case class PointInPolygonExpr(x: Expression, y: Expression, ring: Expression)
+    extends TernaryExpression {
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = ring
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(xv: Any, yv: Any, rv: Any): Any =
+    Geometry.pointInPolygon(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      rv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xv, yv, rv) =>
+      s"graft.geo.Geometry.pointInPolygon($xv, $yv, $rv.toDoubleArray())")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(x = f, y = s, ring = t)
+}
+
+// ---------------------------------------------------------------------------
+// Scalar: extraction kernels (eval-only; parser not codegen-able)
+// ---------------------------------------------------------------------------
+
+/** Byte-identity text extraction: BINARY html → BINARY extracted text
+ * (reference kernel: utils/tree_sitter_helpers.py:239-261; the per-url
+ * invariant of BASELINE.json input_hint). */
+case class ExtractedTextExpr(html: Expression) extends UnaryExpression {
+  override def child: Expression = html
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(h: Any): Any =
+    Extractor.extractTextBytes(h.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.parse.Extractor.extractTextBytes($h)")
+  override protected def withNewChildInternal(c: Expression) = copy(html = c)
+}
+
+/** UTF-8 decode with CPython errors="replace" parity (SURVEY §2.11). */
+case class Utf8ReplaceDecodeExpr(bin: Expression) extends UnaryExpression {
+  override def child: Expression = bin
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(Utf8.decodeReplace(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.Utf8.decodeReplace($b))")
+  override protected def withNewChildInternal(c: Expression) = copy(bin = c)
+}
+
+// ---------------------------------------------------------------------------
+// Generators (the UDTF slot — one html row in, many rows out)
+// ---------------------------------------------------------------------------
+
+/** Flattened node table of one document (reference: get_ast →
+ * node_to_dict_cursor, tools/ast_operations.py:17-66 + models/
+ * ast_cursor.py:12-183 — relational encoding per SURVEY §2.9 T1). */
+case class ParseHtmlNodesExpr(html: Expression) extends UnaryExpression with Generator with CodegenFallback {
+  override def child: Expression = html
+  override def elementSchema: StructType = ParseHtmlNodesExpr.schema
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val h = html.eval(input)
+    if (h == null) return Nil
+    val res = HtmlParser.parse(h.asInstanceOf[Array[Byte]])
+    res.nodes.map { n =>
+      val keys = new GenericArrayData(n.attrs.map(a => UTF8String.fromString(a._1)).toArray[Any])
+      val vals = new GenericArrayData(n.attrs.map(a => UTF8String.fromString(a._2)).toArray[Any])
+      InternalRow(n.id, n.parentId, n.depth,
+        UTF8String.fromString(n.kind), UTF8String.fromString(n.name),
+        new ArrayBasedMapData(keys, vals),
+        n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(html = c)
+}
+object ParseHtmlNodesExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("node_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("attrs", MapType(StringType, StringType), nullable = false),
+    StructField("start_byte", IntegerType, nullable = false),
+    StructField("end_byte", IntegerType, nullable = false),
+    StructField("start_row", IntegerType, nullable = false),
+    StructField("start_col", IntegerType, nullable = false),
+    StructField("end_row", IntegerType, nullable = false),
+    StructField("end_col", IntegerType, nullable = false)))
+}
+
+/** Capture rows for a named extraction spec (reference row shape:
+ * tools/search.py:233-249; spec ≈ query template, SURVEY §2.8 Q1-Q3).
+ * The spec is compiled/validated ONCE at plan time (driver), mirroring
+ * the reference's compile-before-loop discipline (SURVEY §4). */
+case class ExtractCapturesExpr(html: Expression, spec: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+  override def left: Expression = html
+  override def right: Expression = spec
+  private lazy val specName: String = {
+    require(spec.foldable, "extraction spec must be a literal (plan-time compiled)")
+    val s = spec.eval(InternalRow.empty).asInstanceOf[UTF8String].toString
+    require(Extractor.SpecNames.contains(s),
+      s"unknown extraction spec '$s' (known: ${Extractor.SpecNames.mkString(", ")})")
+    s
+  }
+  override def elementSchema: StructType = ExtractCapturesExpr.schema
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val h = html.eval(input)
+    if (h == null) return Nil
+    Extractor.captures(h.asInstanceOf[Array[Byte]], specName).map { c =>
+      InternalRow(UTF8String.fromString(c.capture), UTF8String.fromString(c.text),
+        c.startByte, c.endByte, c.startRow, c.startCol, c.endRow, c.endCol)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(html = l, spec = r)
+}
+object ExtractCapturesExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("capture", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("start_byte", IntegerType, nullable = false),
+    StructField("end_byte", IntegerType, nullable = false),
+    StructField("start_row", IntegerType, nullable = false),
+    StructField("start_col", IntegerType, nullable = false),
+    StructField("end_row", IntegerType, nullable = false),
+    StructField("end_col", IntegerType, nullable = false)))
+}
+
+/** Geo entities of one page (SURVEY §7.2 — feeds cell encode + join). */
+case class ExtractGeoEntitiesExpr(html: Expression) extends UnaryExpression with Generator with CodegenFallback {
+  override def child: Expression = html
+  override def elementSchema: StructType = ExtractGeoEntitiesExpr.schema
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val h = html.eval(input)
+    if (h == null) return Nil
+    Extractor.geoEntities(h.asInstanceOf[Array[Byte]]).map { e =>
+      InternalRow(e.entityIdx, UTF8String.fromString(e.source), e.lat, e.lon)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(html = c)
+}
+object ExtractGeoEntitiesExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("entity_idx", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false)))
+}
+
+/** k-ring fan-out for kNN (SURVEY §2.11 "CellRing generator"). Emits the
+ * Chebyshev ring at exactly radius k (k=0 → the cell itself). */
+case class CellRingExpr(cell: Expression, k: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("ring_cell", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val c = cell.eval(input)
+    val kv = k.eval(input)
+    if (c == null || kv == null) return Nil
+    CellIndex.ring(c.asInstanceOf[Long], kv.asInstanceOf[Int]).map(InternalRow(_))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(cell = l, k = r)
+}

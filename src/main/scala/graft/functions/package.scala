@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftBridge.{column, expression}
+import org.apache.spark.sql.functions.lit
+
+/**
+ * Column-level API over the custom Catalyst expressions — the engine's
+ * scalar/generator function surface (the Spark analogue of the reference's
+ * MCP tool surface, SURVEY §2.13).
+ */
+package object functions {
+
+  /** Encode (lat, lon) into a 64-bit hierarchical cell id at `res`. */
+  def cell_id(lat: Column, lon: Column, res: Int): Column =
+    column(CellIdExpr(expression(lat.cast("double")), expression(lon.cast("double")),
+      expression(lit(res))))
+
+  def cell_parent(cell: Column, parentRes: Int): Column =
+    column(CellParentExpr(expression(cell), expression(lit(parentRes))))
+
+  def cell_center_lat(cell: Column): Column = column(CellCenterLatExpr(expression(cell)))
+  def cell_center_lon(cell: Column): Column = column(CellCenterLonExpr(expression(cell)))
+
+  /** Exact ray-casting PIP; ring = array<double> interleaved [x,y,…]. */
+  def point_in_polygon(x: Column, y: Column, ring: Column): Column =
+    column(PointInPolygonExpr(expression(x), expression(y), expression(ring)))
+
+  /** BINARY html → BINARY extracted text (byte-identity kernel). */
+  def extract_text_bytes(html: Column): Column =
+    column(ExtractedTextExpr(expression(html)))
+
+  /** BINARY html → STRING extracted text (replace-decoded). */
+  def extract_text(html: Column): Column =
+    column(Utf8ReplaceDecodeExpr(ExtractedTextExpr(expression(html))))
+
+  /** BINARY → STRING with CPython errors="replace" semantics. */
+  def utf8_decode_replace(bin: Column): Column =
+    column(Utf8ReplaceDecodeExpr(expression(bin)))
+
+  /** Generator: flattened HTML node table (use inside select with explode
+   * semantics: df.select($"url", parse_html_nodes($"html"))). */
+  def parse_html_nodes(html: Column): Column =
+    column(ParseHtmlNodesExpr(expression(html)))
+
+  /** Generator: capture rows for a named extraction spec. */
+  def extract_captures(html: Column, spec: String): Column =
+    column(ExtractCapturesExpr(expression(html), expression(lit(spec))))
+
+  /** Generator: (entity_idx, source, lat, lon) geo entities per page. */
+  def extract_geo(html: Column): Column =
+    column(ExtractGeoEntitiesExpr(expression(html)))
+
+  /** Generator: Chebyshev ring cells at radius k. */
+  def cell_ring(cell: Column, k: Column): Column =
+    column(CellRingExpr(expression(cell), expression(k)))
+
+  /** Register SQL names so spark.sql can call the engine functions. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cell_id",
+      es => CellIdExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_parent",
+      es => CellParentExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_center_lat",
+      es => CellCenterLatExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_center_lon",
+      es => CellCenterLonExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("point_in_polygon",
+      es => PointInPolygonExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_text_bytes",
+      es => ExtractedTextExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_text",
+      es => Utf8ReplaceDecodeExpr(ExtractedTextExpr(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("utf8_decode_replace",
+      es => Utf8ReplaceDecodeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_html_nodes",
+      es => ParseHtmlNodesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_captures",
+      es => ExtractCapturesExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_geo",
+      es => ExtractGeoEntitiesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_ring",
+      es => CellRingExpr(es(0), es(1)), "scala_udf")
+  }
+}

@@ -107,9 +107,17 @@ object CellIndex {
   }
 
   /** Cell center (lat, lon). */
-  def center(cell: Long): (Double, Double) = {
-    val (lo, la, lo2, la2) = bounds(cell)
-    ((la + la2) / 2.0, (lo + lo2) / 2.0)
+  def center(cell: Long): (Double, Double) = (centerLat(cell), centerLon(cell))
+
+  /** Scalar center accessors (separate statics so codegen emits one flat
+   * call with no tuple boxing). */
+  def centerLat(cell: Long): Double = {
+    val r = res(cell); val n = (1L << r).toDouble
+    (iy(cell).toDouble + 0.5) / n * 180.0 - 90.0
+  }
+  def centerLon(cell: Long): Double = {
+    val r = res(cell); val n = (1L << r).toDouble
+    (ix(cell).toDouble + 0.5) / n * 360.0 - 180.0
   }
 
   /** Width/height of one cell in degrees at `res`. */
