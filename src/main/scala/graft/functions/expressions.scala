@@ -243,3 +243,45 @@ case class CellRingExpr(cell: Expression, k: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(cell = l, k = r)
 }
+
+/** Polygon → covering cells at `res` (the build side of the two-phase
+ * spatial join, SURVEY §2.3 J5). Superset-guaranteed cover (tested in
+ * GeometrySpec); ring = ArrayType(DoubleType) interleaved [x,y,…]. */
+case class CellCoverExpr(ring: Expression, res: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+  override def left: Expression = ring
+  override def right: Expression = res
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("cover_cell", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val r = ring.eval(input)
+    val rs = res.eval(input)
+    if (r == null || rs == null) return Nil
+    val arr = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    Geometry.cellCover(arr, rs.asInstanceOf[Int]).map(InternalRow(_))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(ring = l, res = r)
+}
+
+/** Lower bound on squared degree-distance from (lat, lon) to anything
+ * OUTSIDE the Chebyshev disk of radius k around its cell — the kNN
+ * ring-expansion termination criterion (SURVEY §7.4-4). Codegen'd. */
+case class CellDiskBoundExpr(lat: Expression, lon: Expression, res: Expression, k: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = res
+  override def fourth: Expression = k
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(la: Any, lo: Any, r: Any, kk: Any): Any =
+    CellIndex.minDistSqBeyondDisk(la.asInstanceOf[Double], lo.asInstanceOf[Double],
+      r.asInstanceOf[Int], kk.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, r, kk) =>
+      s"graft.geo.CellIndex.minDistSqBeyondDisk($la, $lo, $r, $kk)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(lat = f, lon = s, res = t, k = q)
+}

@@ -55,6 +55,15 @@ package object functions {
   def cell_ring(cell: Column, k: Column): Column =
     column(CellRingExpr(expression(cell), expression(k)))
 
+  /** kNN ring-expansion termination bound (squared degrees). */
+  def cell_disk_bound(lat: Column, lon: Column, res: Int, k: Column): Column =
+    column(CellDiskBoundExpr(expression(lat), expression(lon),
+      expression(lit(res)), expression(k)))
+
+  /** Generator: covering cells of a polygon ring at `res`. */
+  def cell_cover(ring: Column, res: Int): Column =
+    column(CellCoverExpr(expression(ring), expression(lit(res))))
+
   /** Register SQL names so spark.sql can call the engine functions. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -82,5 +91,7 @@ package object functions {
       es => ExtractGeoEntitiesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cell_ring",
       es => CellRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_cover",
+      es => CellCoverExpr(es(0), es(1)), "scala_udf")
   }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{cell_cover, cell_id, point_in_polygon}
+
+/**
+ * Two-phase spatial join (the north rule's core operator; SURVEY §2.3 J5):
+ *
+ *   phase 1 (blocking): polygons fan out to their covering cells at `res`
+ *   (CellCoverExpr generator); points encode to their single cell at `res`
+ *   (codegen'd CellIdExpr). Equi-join on the cell id → hash join, shuffle
+ *   ONLY on the 8-byte cell key.
+ *
+ *   phase 2 (refinement): exact ray-casting PIP on the surviving pairs
+ *   (codegen'd PointInPolygonExpr).
+ *
+ * Correctness: a point lies in exactly one cell at `res`, and the cover is
+ * a superset of all cells containing interior points (GeometrySpec), so
+ * every true (point, polygon) pair survives phase 1 exactly once — no
+ * dedup needed, and the output row set equals the brute-force oracle.
+ *
+ * Scale design (10^12 points, SURVEY §7.4-2):
+ *  - polygon layers are typically ≪ points: Spark's planner broadcasts the
+ *    exploded cover automatically under the broadcast threshold; at larger
+ *    covers AQE picks shuffle-hash and splits skewed partitions.
+ *  - hot cells (capital-city skew): `saltBuckets > 1` appends a salt key:
+ *    points get pmod(xxhash64(point key), S), the cover side explodes
+ *    0..S-1. The join key becomes (cell, salt) — a hot cell's points
+ *    spread over S partitions at the cost of S× the (small) cover side.
+ *    AQE skew-join handles residual imbalance.
+ *  - `res` trades cover size (4^res cells/polygon) against join
+ *    selectivity (finer cells → fewer false pairs for the PIP to reject).
+ */
+object SpatialJoin {
+
+  /**
+   * @param points   any DataFrame with `latCol`/`lonCol` double columns
+   * @param polygons any DataFrame with `ringCol`: array<double> [x,y,…]
+   * @param res      blocking-cell resolution
+   * @param saltBuckets >1 enables salting for hot-cell skew
+   * @return points × polygons pairs where the point is strictly inside;
+   *         all point and polygon columns preserved.
+   */
+  def apply(
+      points: DataFrame,
+      polygons: DataFrame,
+      latCol: Column,
+      lonCol: Column,
+      ringCol: Column,
+      res: Int,
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val pts = points.withColumn("__cell", cell_id(latCol, lonCol, res))
+    // generator output column is named cover_cell by the expression schema
+    val cover = polygons.select(col("*"), cell_cover(ringCol, res).as("__cover_cell"))
+    val joined =
+      if (saltBuckets == 1) {
+        pts.join(cover, pts("__cell") === cover("__cover_cell"), "inner")
+      } else {
+        val ptsS = pts.withColumn("__salt",
+          pmod(xxhash64(latCol, lonCol, monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+        val coverS = cover.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        ptsS.join(coverS,
+          ptsS("__cell") === coverS("__cover_cell") && ptsS("__salt") === coverS("__salt"),
+          "inner")
+      }
+    joined
+      .where(point_in_polygon(lonCol, latCol, ringCol))
+      .drop("__cell", "__cover_cell", "__salt")
+  }
+}

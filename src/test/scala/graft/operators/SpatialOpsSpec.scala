@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+import graft.geo.{CellIndex, Geometry}
+import graft.sources.Fixtures
+
+class SpatialOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val nPages = 600
+  private val nPolys = 40
+  // entity points extracted from the fixture pages (pure Scala oracle side)
+  private lazy val pts: Seq[(Long, Int, Double, Double)] =
+    (0L until nPages).flatMap { i =>
+      Fixtures.pageEntities(i).zipWithIndex.map { case (p, e) => (i, e, p.lat, p.lon) }
+    }
+  private lazy val polys = Fixtures.polygons(nPolys)
+
+  private lazy val ptsDf = pts.toDF("page_id", "entity_idx", "lat", "lon")
+  private lazy val polysDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(polys.map(p => org.apache.spark.sql.Row(p.polygon_id, p.ring, p.name)), 4),
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("polygon_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ring",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+
+  private lazy val bruteForcePairs: Set[(Long, Int, Long)] =
+    (for {
+      (pid, e, lat, lon) <- pts
+      poly <- polys
+      if Geometry.pointInPolygon(lon, lat, poly.ring)
+    } yield (pid, e, poly.polygon_id)).toSet
+
+  test("spatial join row set equals brute-force oracle (unsalted)") {
+    val got = SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7)
+      .select("page_id", "entity_idx", "polygon_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bruteForcePairs.nonEmpty)
+    assert(got == bruteForcePairs)
+  }
+
+  test("spatial join row set equals brute-force oracle (salted, skewed input)") {
+    val got = SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7, saltBuckets = 8)
+      .select("page_id", "entity_idx", "polygon_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == bruteForcePairs)
+  }
+
+  test("spatial join at a different res gives the same rows (res-invariance)") {
+    val got = SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 4)
+      .select("page_id", "entity_idx", "polygon_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == bruteForcePairs)
+  }
+
+  test("skew cluster actually hits the skew polygon (fixture sanity)") {
+    val skewHits = bruteForcePairs.count(_._3 == 0L)
+    assert(skewHits > nPages * Fixtures.SkewFraction * 0.8, s"skewHits=$skewHits")
+  }
+
+  test("kNN equals brute force (k=3, with ties broken by target key)") {
+    val queries = pts.take(150).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
+      .toDF("qid", "lat", "lon")
+    val centroids = polys.map { p =>
+      val (cx, cy) = Geometry.vertexCentroid(p.ring)
+      (p.polygon_id, cy, cx)
+    }.toDF("tid", "tlat", "tlon")
+    val k = 3
+    val got = Knn(queries, "qid", "lat", "lon", centroids, "tid", "tlat", "tlon", k, res = 4)
+      .select("qid", "tid", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val want = pts.take(150).flatMap { case (pid, e, lat, lon) =>
+      val qid = pid * 10 + e
+      polys.map { p =>
+        val (cx, cy) = Geometry.vertexCentroid(p.ring)
+        (qid, p.polygon_id, Geometry.distSq(lon, lat, cx, cy))
+      }.sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((q, t, _), r) => (q, t, r + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("kNN with k larger than target count returns all targets") {
+    val queries = Seq((1L, 0.0, 0.0)).toDF("qid", "lat", "lon")
+    val targets = Seq((10L, 1.0, 1.0), (11L, 2.0, 2.0)).toDF("tid", "tlat", "tlon")
+    val got = Knn(queries, "qid", "lat", "lon", targets, "tid", "tlat", "tlon", k = 5, res = 2)
+      .select("tid").as[Long].collect().toSet
+    assert(got == Set(10L, 11L))
+  }
+
+  test("raster tiles: sparse counts match recompute") {
+    val zoom = 4
+    val got = Tiler.raster(ptsDf, "lat", "lon", zoom)
+      .select("tile_id", "pix_x", "pix_y", "n")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val want = pts.groupBy { case (_, _, lat, lon) =>
+      val pcell = CellIndex.latLonToCell(lat, lon, Tiler.payloadRes(zoom))
+      (CellIndex.parent(pcell, Tiler.tileRes(zoom)),
+        (CellIndex.ix(pcell) % 16).toInt, (CellIndex.iy(pcell) % 16).toInt)
+    }.map { case ((t, x, y), rows) => (t, x, y, rows.size.toLong) }.toSet
+    assert(got == want)
+    // total preserved
+    assert(got.toSeq.map(_._4).sum == pts.length)
+  }
+
+  test("vector tiles: features sorted and complete") {
+    val zoom = 4
+    val ents = ptsDf.withColumn("key", concat(lit("p"), $"page_id"))
+    val rows = Tiler.vector(ents, "key", "entity_idx", "lat", "lon", zoom)
+      .select($"tile_id", $"features").collect()
+    val total = rows.map(_.getSeq[org.apache.spark.sql.Row](1).size).sum
+    assert(total == pts.length)
+    rows.foreach { r =>
+      val fs = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(f => (f.getString(0), f.getInt(1), f.getLong(2)))
+      assert(fs == fs.sortBy(x => (x._1, x._2)), "features must be sorted")
+      val tile = r.getLong(0)
+      fs.foreach { case (_, _, cell) =>
+        assert(CellIndex.parent(cell, Tiler.tileRes(zoom)) == tile)
+      }
+    }
+  }
+}
