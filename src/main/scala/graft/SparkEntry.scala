@@ -1,13 +1,498 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators._
+import graft.sources.{Fixtures, PagesFromDocs}
+
+/**
+ * Driver contract (see /root/repo/SURVEY.md §2 for the operator inventory
+ * each query exercises). Every query has an exact DuckDB oracle in
+ * [[SparkEntry.oracleSql]]; column names and types are mirrored
+ * (integers as BIGINT, floats rounded to 4dp AFTER identical arithmetic,
+ * no timestamps in outputs).
+ *
+ * Cross-engine determinism rules used throughout:
+ *  - money/measures sum as integer cents (double SUM order is
+ *    nondeterministic; integer sums are exact);
+ *  - list-valued intermediates are sorted before compare (DuckDB
+ *    list_distinct does not preserve order);
+ *  - only md5 is used as a portable hash;
+ *  - coordinates derive from integer hundredths so both engines parse
+ *    the identical double.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Points derived from customer keys (mirrored in latSql/lonSql). */
+  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(
+      col("c_custkey"),
+      (((col("c_custkey") * 7919) % 17000 - 8500).cast("double") / 100.0).as("lat"),
+      (((col("c_custkey") * 104729) % 36000 - 18000).cast("double") / 100.0).as("lon"))
+
+  /** Diamond polygons derived from nation keys. */
+  private def nationPolygons(s: SparkSession, dir: String): DataFrame = {
+    val n = col("n_nationkey")
+    val cx = ((n * 7001) % 340 - 170).cast("double") + 0.5
+    val cy = ((n * 3001) % 160 - 80).cast("double") + 0.5
+    val w = (n % 7 + 8).cast("double") + 0.25
+    val h = (n % 5 + 6).cast("double") + 0.25
+    tbl(s, dir, "nation").select(
+      n, cx.as("cx"), cy.as("cy"), w.as("w"), h.as("h"),
+      array(cx + w, cy, cx, cy + h, cx - w, cy, cx, cy - h).as("ring"))
+  }
+
+  private val CentroidSqlCte =
+    """ctr AS (SELECT n_nationkey,
+      |  ((n_nationkey*7001) % 340 - 170) + 0.5 AS cx,
+      |  ((n_nationkey*3001) % 160 - 80) + 0.5 AS cy,
+      |  (n_nationkey % 7 + 8) + 0.25 AS w,
+      |  (n_nationkey % 5 + 6) + 0.25 AS h FROM nation)""".stripMargin
+
+  private val PointsSqlCte =
+    """pts AS (SELECT c_custkey,
+      |  ((c_custkey*7919) % 17000 - 8500) / 100.0 AS lat,
+      |  ((c_custkey*104729) % 36000 - 18000) / 100.0 AS lon FROM customer)""".stripMargin
+
+  /** DuckDB mirror of TextAnalysis.shingles. */
+  private def shinglesSql(text: String): String =
+    s"list_sort(list_distinct(list_transform(" +
+      s"generate_series(1, greatest(len(string_split($text,' '))-2, 0)), " +
+      s"i -> string_split($text,' ')[i] || ' ' || string_split($text,' ')[i+1] || ' ' || string_split($text,' ')[i+2])))"
+
+  /** Flagship: full spatial pipeline over the synthesized pages fixture
+   * (extract → cell-encode → spatial join → PIP). Driver smoke-checks
+   * rows > 0 at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Fixtures.pages(spark, 2000, partitions = 8)
+    val polys = Fixtures.polygonsDf(spark, 64)
+    val ents = pages.toDF().select(col("url"),
+      extract_geo(col("html")).as(Seq("entity_idx", "source", "lat", "lon")))
+    SpatialJoin(ents, polys, col("lat"), col("lon"), col("ring"), res = 7)
+      .select(col("url"), col("entity_idx"), col("polygon_id"),
+        cell_id(col("lat"), col("lon"), 12).as("cell_id"))
+  }
+
+  // =========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY §2.1, §2.4-§2.7) ------------------------
+    "q01_lang_histogram" -> ((s, d) =>
+      tbl(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))),
+
+    "q02_url_filter" -> ((s, d) =>
+      tbl(s, d, "documents").where(col("source").startsWith("src1"))
+        .select("doc_id", "source")),
+
+    "q03_doc_metadata" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"), col("n_chars"),
+        length(col("text")).cast("long").as("len_text"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))),
+
+    "q04_slice_tokens" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 3, 5)).as("sliced"))),
+
+    "q05_term_match" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t === "spark")).cast("long").as("n_match"))),
+
+    "q06_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, d, "events").select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(round(col("value") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_cents"))
+    }),
+
+    "q07_topk_orders" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))),
+
+    "q08_join_revenue" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem"); val o = tbl(s, d, "orders"); val c = tbl(s, d, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    "q09_theta_join" -> ((s, d) => {
+      val o = tbl(s, d, "orders"); val c = tbl(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        o("o_totalprice") >= c("c_acctbal") * 2 && o("o_totalprice") <= c("c_acctbal") * 40)
+        .select("o_orderkey", "c_custkey")
+    }),
+
+    "q10_similarity_topk" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val snip = docs.where(col("doc_id") === 0)
+        .select(TextAnalysis.shingles(col("text")).as("snip"))
+      docs.select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+        .crossJoin(broadcast(snip))
+        .withColumn("score", round(
+          size(array_intersect(col("sh"), col("snip"))).cast("double") /
+            greatest(size(col("snip")), lit(1)), 4))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    }),
+
+    // ---- dedup family (training-data ops) --------------------------------
+    "q11_dedup_exact" -> ((s, d) =>
+      Dedup.exact(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q12_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(tbl(s, d, "documents"), "doc_id", "text", 0.05)),
+
+    "q13_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(tbl(s, d, "documents"), "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.05)),
+
+    "q14_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ---- similarity search ------------------------------------------------
+    "q15_ann_brute" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 20).select(col("vec_id").as("q_vec"), col("embedding"))
+      Similarity.bruteTopK(q, "q_vec", "embedding", e, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    "q16_ann_ivf" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec"), col("embedding"), col("label"))
+      Similarity.ivfTopK(q, "q_vec", "embedding", "label",
+        e, "vec_id", "embedding", "label", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "q17_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q18_quality" -> ((s, d) =>
+      TextAnalysis.quality(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q19_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q20_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // ---- spatial family (the north rule) ---------------------------------
+    "q21_cells" -> ((s, d) =>
+      customerPoints(s, d).select(col("c_custkey"),
+        cell_id(col("lat"), col("lon"), 12).as("cell12"),
+        cell_parent(cell_id(col("lat"), col("lon"), 12), 5).as("tile5"))),
+
+    "q22_cell_rollup" -> ((s, d) =>
+      customerPoints(s, d)
+        .groupBy(cell_parent(cell_id(col("lat"), col("lon"), 12), 5).as("tile5"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q23_spatial_join" -> ((s, d) =>
+      SpatialJoin(customerPoints(s, d), nationPolygons(s, d),
+        col("lat"), col("lon"), col("ring"), res = 6)
+        .select("c_custkey", "n_nationkey")),
+
+    "q24_knn" -> ((s, d) =>
+      Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
+        nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
+        "n_nationkey", "cy", "cx", k = 3, res = 3)
+        .select(col("c_custkey"), col("n_nationkey"), col("rank").cast("long").as("rank"))),
+
+    "q25_raster_tiles" -> ((s, d) =>
+      Tiler.raster(customerPoints(s, d), "lat", "lon", zoom = 3)
+        .select(col("tile_id"), col("zoom").cast("long").as("zoom"),
+          col("pix_x").cast("long").as("pix_x"),
+          col("pix_y").cast("long").as("pix_y"), col("n"))),
+
+    // ---- extraction pipeline (byte-identity, SURVEY §2.8-2.11) -----------
+    "q26_extract_text" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), extract_text(col("html")).as("extracted"))),
+
+    "q27_extract_links" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), extract_captures(col("html"), "links")
+          .as(Seq("capture", "text", "sb", "eb", "sr", "sc", "er", "ec")))
+        .where(col("capture") === "link.href")
+        .select(col("doc_id"), col("text").as("href"))),
+
+    "q28_geo_cells" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), extract_geo(col("html")).as(Seq("entity_idx", "source", "lat", "lon")))
+        .select(col("doc_id"), cell_id(col("lat"), col("lon"), 12).as("cell12"))),
+
+    "q29_headings" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), extract_captures(col("html"), "headings")
+          .as(Seq("capture", "text", "sb", "eb", "sr", "sc", "er", "ec")))
+        .select("doc_id", "capture", "text")),
+
+    "q30_node_stats" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
+          "node_id", "parent_id", "depth", "kind", "name", "attrs",
+          "sb", "eb", "sr", "sc", "er", "ec")))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("kind") === "element", 1L).otherwise(0L)).as("n_elements"),
+          sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+          max(col("depth")).cast("long").as("max_depth"))),
+
+    // ---- grouping sets & set ops ------------------------------------------
+    "q31_cube_orders" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
+
+    "q32_union_sources" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("source").as("v"))
+        .union(tbl(s, d, "events").select(col("event_type").as("v")))
+        .distinct())
+  )
+
+  // =========================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_lang_histogram" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+
+    "q02_url_filter" ->
+      "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'",
+
+    "q03_doc_metadata" ->
+      ("SELECT doc_id, n_chars, length(text) AS len_text, " +
+        "len(string_split(text, ' ')) AS ws_tokens FROM documents"),
+
+    "q04_slice_tokens" ->
+      ("SELECT doc_id, array_to_string(string_split(text, ' ')[3:7], ' ') AS sliced " +
+        "FROM documents"),
+
+    "q05_term_match" ->
+      ("SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS n_match " +
+        "FROM documents"),
+
+    "q06_window_running" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(row_number() OVER w AS BIGINT) AS rn, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+
+    "q07_topk_orders" ->
+      ("SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    "q08_join_revenue" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+
+    "q09_theta_join" ->
+      ("SELECT o_orderkey, c_custkey FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "AND o_totalprice >= c_acctbal*2 AND o_totalprice <= c_acctbal*40"),
+
+    "q10_similarity_topk" ->
+      (s"""WITH snip AS (SELECT ${shinglesSql("text")} AS s FROM documents WHERE doc_id = 0)
+         |SELECT doc_id, score FROM (
+         |  SELECT d.doc_id,
+         |    round(len(list_filter(${shinglesSql("d.text")}, x -> list_contains(snip.s, x)))::DOUBLE
+         |      / greatest(len(snip.s), 1), 4) AS score
+         |  FROM documents d, snip)
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+    "q11_dedup_exact" ->
+      ("SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keep_key " +
+        "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),
+
+    "q12_ngram_jaccard" ->
+      (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |cand AS (SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id)
+         |SELECT key_a, key_b, jaccard FROM (
+         |  SELECT key_a, key_b,
+         |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
+         |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
+         |WHERE jaccard >= 0.05""".stripMargin),
+
+    "q13_minhash_lsh" ->
+      (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+         |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |mh AS (SELECT doc_id, j.h_idx, min(md5(j.h_idx::VARCHAR || ':' || s)) AS min_hash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h_idx) j GROUP BY doc_id, j.h_idx),
+         |bk AS (SELECT doc_id, h_idx // 2 AS band,
+         |  array_to_string(list_sort(list(lpad(h_idx::VARCHAR, 4, '0') || '=' || min_hash)), '|') AS band_key
+         |  FROM mh GROUP BY doc_id, h_idx // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT key_a, key_b, jaccard FROM (
+         |  SELECT key_a, key_b,
+         |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
+         |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
+         |WHERE jaccard >= 0.05""".stripMargin),
+
+    "q14_simhash_pairs" ->
+      ("""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+        |bits AS (SELECT doc_id, j.j,
+        |  CASE WHEN ascii(substring(h, j.j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j) j),
+        |sums AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |  sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS simhash FROM sums GROUP BY doc_id),
+        |wide AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash // 256 AS hi FROM sh)
+        |SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM wide a JOIN wide b ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    "q15_ann_brute" ->
+      ("""WITH q AS (SELECT vec_id AS q_vec, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |scored AS (SELECT q.q_vec, c.vec_id,
+        |  round(list_dot_product(qv, c.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS cos
+        |  FROM q, embeddings c WHERE q.q_vec <> c.vec_id)
+        |SELECT q_vec, vec_id, cos, rank FROM (
+        |  SELECT q_vec, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin),
+
+    "q16_ann_ivf" ->
+      ("""WITH q AS (SELECT vec_id AS q_vec, label, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |scored AS (SELECT q.q_vec, c.vec_id,
+        |  round(list_dot_product(qv, c.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS cos
+        |  FROM q JOIN embeddings c ON q.label = c.label AND q.q_vec <> c.vec_id)
+        |SELECT q_vec, vec_id, cos, rank FROM (
+        |  SELECT q_vec, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin),
+
+    "q17_lang_id" -> {
+      val cases = TextAnalysis.LangStopwords.map { case (l, sw) =>
+        val set = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($set, t))) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.LangStopwords.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val pred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+        s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH scored AS (SELECT doc_id, $cases FROM documents),
+         |b AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, $pred AS pred_lang, CAST(best AS BIGINT) AS best_score FROM b""".stripMargin
+    },
+
+    "q18_quality" -> {
+      val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars, " +
+        "round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS mean_token_len, " +
+        s"round(len(list_filter(string_split(lower(text), ' '), t -> list_contains($sw, t)))::DOUBLE " +
+        "/ len(string_split(text, ' ')), 4) AS stopword_ratio FROM documents")
+    },
+
+    "q19_token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens FROM documents"),
+
+    "q20_fingerprint" ->
+      ("SELECT doc_id, CAST(list_reduce(['0'] || string_split(text, ' '), " +
+        "(acc, t) -> CAST((CAST(acc AS BIGINT)*31 + length(t)*7 + ascii(substring(t, 1, 1))) " +
+        "% 1000000007 AS VARCHAR)) AS BIGINT) AS fp FROM documents"),
+
+    "q21_cells" ->
+      (s"""WITH $PointsSqlCte
+         |SELECT c_custkey,
+         |  (12::BIGINT << 58) | (CAST(floor(((lon + 180.0)/360.0)*4096.0) AS BIGINT) << 29) |
+         |    CAST(floor(((lat + 90.0)/180.0)*4096.0) AS BIGINT) AS cell12,
+         |  (5::BIGINT << 58) | (CAST(floor(((lon + 180.0)/360.0)*32.0) AS BIGINT) << 29) |
+         |    CAST(floor(((lat + 90.0)/180.0)*32.0) AS BIGINT) AS tile5
+         |FROM pts""".stripMargin),
+
+    "q22_cell_rollup" ->
+      (s"""WITH $PointsSqlCte
+         |SELECT (5::BIGINT << 58) | (CAST(floor(((lon + 180.0)/360.0)*32.0) AS BIGINT) << 29) |
+         |    CAST(floor(((lat + 90.0)/180.0)*32.0) AS BIGINT) AS tile5, count(*) AS n
+         |FROM pts GROUP BY 1""".stripMargin),
+
+    "q23_spatial_join" ->
+      (s"""WITH $PointsSqlCte, $CentroidSqlCte
+         |SELECT c_custkey, n_nationkey FROM pts, ctr
+         |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
+
+    "q24_knn" ->
+      (s"""WITH $PointsSqlCte, $CentroidSqlCte
+         |SELECT c_custkey, n_nationkey, rank FROM (
+         |  SELECT c_custkey, n_nationkey,
+         |    CAST(row_number() OVER (PARTITION BY c_custkey
+         |      ORDER BY (cx-lon)*(cx-lon) + (cy-lat)*(cy-lat), n_nationkey) AS BIGINT) AS rank
+         |  FROM pts, ctr) WHERE rank <= 3""".stripMargin),
+
+    "q25_raster_tiles" ->
+      (s"""WITH $PointsSqlCte,
+         |enc AS (SELECT CAST(floor(((lon + 180.0)/360.0)*128.0) AS BIGINT) AS ixp,
+         |               CAST(floor(((lat + 90.0)/180.0)*128.0) AS BIGINT) AS iyp FROM pts)
+         |SELECT (3::BIGINT << 58) | ((ixp // 16) << 29) | (iyp // 16) AS tile_id,
+         |  CAST(3 AS BIGINT) AS zoom, ixp % 16 AS pix_x, iyp % 16 AS pix_y, count(*) AS n
+         |FROM enc GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    "q26_extract_text" ->
+      ("SELECT doc_id, 'Doc ' || doc_id::VARCHAR || source || " +
+        "(CASE doc_id % 3 WHEN 1 THEN 'l0' WHEN 2 THEN 'l0l1' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 's' || doc_id::VARCHAR ELSE '' END) || " +
+        "text AS extracted FROM documents"),
+
+    "q27_extract_links" ->
+      ("SELECT doc_id, 'https://ex.com/' || doc_id::VARCHAR || '/' || j::VARCHAR AS href " +
+        "FROM documents, unnest(generate_series(0, doc_id % 3 - 1)) AS t(j) " +
+        "WHERE doc_id % 3 > 0"),
+
+    "q28_geo_cells" -> {
+      val lat = s"(${PagesFromDocs.latSql("doc_id")} / 100.0)"
+      val lon = s"(${PagesFromDocs.lonSql("doc_id")} / 100.0)"
+      s"SELECT doc_id, (12::BIGINT << 58) | " +
+        s"(CAST(floor((($lon + 180.0)/360.0)*4096.0) AS BIGINT) << 29) | " +
+        s"CAST(floor((($lat + 90.0)/180.0)*4096.0) AS BIGINT) AS cell12 FROM documents"
+    },
+
+    "q29_headings" ->
+      ("SELECT doc_id, 'heading.h1' AS capture, source AS text FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id, 'heading.h2' AS capture, 's' || doc_id::VARCHAR AS text " +
+        "FROM documents WHERE doc_id % 2 = 0"),
+
+    "q30_node_stats" ->
+      ("SELECT doc_id, " +
+        "CAST(7 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_elements, " +
+        "CAST(3 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_text, " +
+        "CAST(4 AS BIGINT) AS max_depth FROM documents"),
+
+    "q31_cube_orders" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+
+    "q32_union_sources" ->
+      "SELECT source AS v FROM documents UNION SELECT event_type AS v FROM events"
+  )
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for web-scale corpora (driver instructions:
+ * first-class training-data-pipeline components). All are pure
+ * `functions._` compositions (codegen'd, shuffle-minimal):
+ *
+ *  - exact          one hash-groupBy; shuffles 16-byte digests, not text
+ *  - minhashLsh     the canonical scale path: shingle → per-band min-hash
+ *                   (partial agg!) → bucket equi-join → exact-Jaccard verify.
+ *                   Same two-phase block+verify shape as the spatial join
+ *                   (reference analogue: find_similar_code fingerprint
+ *                   containment, tools/search.py:401-501)
+ *  - simhash        16-bit majority-vote signature + banded hamming pairs
+ *  - ngramJaccard   direct all-pairs on a blocking key (small corpora)
+ *  - embeddingCosine near-dup by vector similarity (see Similarity)
+ *
+ * Hash discipline: only md5 (hex string) is used — identical bytes-in/
+ * hex-out in Spark and DuckDB, so every operator has an exact SQL oracle.
+ */
+object Dedup {
+
+  /** Exact duplicates: groups with >1 row by md5(text). Output one row per
+   * duplicate group: (digest, n, keep_key = min key). */
+  def exact(df: DataFrame, key: String, text: String): DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n"), min(col(key)).as("keep_key"))
+      .where(col("n") > 1)
+
+  /** MinHash signature matrix, long form: (key, h_idx, min_hash). Shuffle
+   * is (key, h_idx)-partial-aggregated map-side — the scalable shape. */
+  def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame = {
+    val sh = df.select(col(key), explode(TextAnalysis.shingles(col(text))).as("s"))
+    sh.crossJoin(spark_range_df(sh, numHashes))
+      .groupBy(col(key), col("h_idx"))
+      .agg(min(md5(concat(col("h_idx").cast("string"), lit(":"), col("s")))).as("min_hash"))
+  }
+
+  private def spark_range_df(df: DataFrame, n: Int): DataFrame =
+    df.sparkSession.range(n).select(col("id").cast("long").as("h_idx"))
+
+  /**
+   * MinHash-LSH candidate pairs verified by exact Jaccard.
+   * bands × rowsPerBand = numHashes; a pair is a candidate iff it agrees
+   * on ALL hashes of ≥1 band. Output: (key_a, key_b, jaccard) with
+   * key_a < key_b and jaccard ≥ threshold, 4-dp rounded.
+   */
+  def minhashLsh(df: DataFrame, key: String, text: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val mh = minhashLong(df, key, text, numHashes)
+      .withColumn("band", (col("h_idx") / rowsPerBand).cast("long"))
+    // band key: hashes of the band concatenated in h_idx order
+    val bandKeys = mh.groupBy(col(key), col("band"))
+      .agg(concat_ws("|", array_sort(collect_list(
+        concat(lpad(col("h_idx").cast("string"), 4, "0"), lit("="), col("min_hash"))))).as("band_key"))
+    val a = bandKeys.select(col(key).as("key_a"), col("band"), col("band_key"))
+    val b = bandKeys.select(col(key).as("key_b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .where(col("key_a") < col("key_b"))
+      .select("key_a", "key_b").distinct()
+    // verify with exact Jaccard over shingle sets
+    val sets = df.select(col(key), TextAnalysis.shingles(col(text)).as("sh"))
+    val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
+    cand.join(sa, "key_a").join(sb, "key_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("key_a", "key_b", "jaccard")
+  }
+
+  /** 16-bit SimHash from md5-derived per-token bit votes; portable to SQL
+   * (bit j of token t = ascii(substr(md5(t), j+1, 1)) % 2). */
+  def simhash(df: DataFrame, key: String, text: String): DataFrame = {
+    val toks = df.select(col(key), explode(TextAnalysis.tokens(col(text))).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+    val bits = toks.crossJoin(spark_range_df(toks, 16).withColumnRenamed("h_idx", "j"))
+      .withColumn("vote",
+        when(pmod(ascii(substring(col("h"), (col("j") + 1).cast("int"), lit(1))), lit(2)) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+    bits.groupBy(col(key), col("j"))
+      .agg(sum("vote").as("v"))
+      .groupBy(col(key))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, banded on
+   * the two 8-bit halves (a pair within distance 1 shares ≥1 half). */
+  def simhashPairs(df: DataFrame, key: String, text: String, maxHamming: Int): DataFrame = {
+    val sh = simhash(df, key, text)
+      .withColumn("lo", pmod(col("simhash"), lit(256L)))
+      .withColumn("hi", (col("simhash") / 256L).cast("long"))
+    val a = sh.select(col(key).as("key_a"), col("simhash").as("sim_a"), col("lo"), col("hi"))
+    val b = sh.select(col(key).as("key_b"), col("simhash").as("sim_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val cand = a.join(b, col("lo") === col("lo_b") || col("hi") === col("hi_b"))
+      .where(col("key_a") < col("key_b"))
+    cand.withColumn("hamming",
+      bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("key_a", "key_b", "hamming").distinct()
+  }
+
+  /** Direct n-gram Jaccard pairs (quadratic verify stage only — blocked by
+   * shared-shingle equi-join so disjoint docs never pair). */
+  def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double): DataFrame = {
+    val sets = df.select(col(key), TextAnalysis.shingles(col(text)).as("sh"))
+    val ex = sets.select(col(key), explode(col("sh")).as("s"))
+    val cand = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
+      .where(col(s"x.$key") < col(s"y.$key"))
+      .select(col(s"x.$key").as("key_a"), col(s"y.$key").as("key_b")).distinct()
+    val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
+    cand.join(sa, "key_a").join(sb, "key_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("key_a", "key_b", "jaccard")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a web-scale training-data pipeline, built
+ * purely from codegen'd `functions._` (no UDFs — SURVEY §2.11 discipline).
+ * Each operator mirrors a reference semantics class:
+ *  - textSearch   ← find_text per-line scan (reference: tools/search.py:12-136)
+ *  - sliceLines   ← get_file start_line/max_lines slicing (file_operations.py:77-173)
+ *  - lineStats    ← complexity line counts (analysis.py:803-927)
+ *  - langId/quality/tokenCount/fingerprint ← the training-data additions
+ *    (driver instructions), all with exact SQL-oracle equivalents.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens. Mirrors DuckDB string_split(text, ' '). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Sorted distinct word 3-gram shingles (the dedup/similarity unit).
+   * Guard: Spark's sequence(1,0) DESCENDS, so short docs get array().
+   * DuckDB mirror: list_sort(list_distinct(list_transform(
+   *   generate_series(1, greatest(len(ts)-2,0)), i -> …))). */
+  def shingles(text: Column): Column = {
+    val ts = tokens(text)
+    array_sort(array_distinct(
+      when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2), i =>
+          concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+        .otherwise(array().cast("array<string>"))))
+  }
+
+  /** Per-line search hits: (key, line, line_text) for lines containing
+   * `term`. Modes mirror the reference: plain contains / case-insensitive /
+   * whole-word (reference: search.py:51-84). */
+  def textSearch(df: DataFrame, key: String, text: String, term: String,
+      caseInsensitive: Boolean = false, wholeWord: Boolean = false): DataFrame = {
+    val lines = df.select(col(key),
+      posexplode(split(col(text), "\n")).as(Seq("line0", "line_text")))
+      .withColumn("line", (col("line0") + 1).cast("long")).drop("line0")
+    val hit =
+      if (wholeWord) col("line_text").rlike("\\b" + java.util.regex.Pattern.quote(term) + "\\b")
+      else if (caseInsensitive) lower(col("line_text")).contains(term.toLowerCase)
+      else col("line_text").contains(term)
+    lines.where(hit)
+  }
+
+  /** Count of matching lines per doc — the aggregate flavour used when the
+   * per-line fan-out isn't wanted. DuckDB mirror: len(list_filter(...)). */
+  def matchLineCount(df: DataFrame, key: String, text: String, term: String): DataFrame =
+    df.select(col(key),
+      size(filter(split(col(text), "\n"), l => l.contains(term))).cast("long").as("n_match"))
+
+  /** Lines [start, start+n) re-joined (reference get_file slicing). */
+  def sliceLines(df: DataFrame, key: String, text: String, start: Int, n: Int): DataFrame =
+    df.select(col(key),
+      concat_ws("\n", slice(split(col(text), "\n"), start + 1, n)).as("sliced"))
+
+  /** Language ID by stopword voting. Deterministic tie-break: language
+   * list order. Output (key, pred_lang, best_score). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de"))
+
+  def langId(df: DataFrame, key: String, text: String): DataFrame = {
+    val ts = tokens(lower(col(text)))
+    val scored = LangStopwords.foldLeft(df.select(col(key), ts.as("__ts"))) {
+      case (acc, (lang, sw)) =>
+        acc.withColumn(s"__s_$lang",
+          size(filter(col("__ts"), t => t.isInCollection(sw))).cast("long"))
+    }
+    val best = LangStopwords.map { case (l, _) => col(s"__s_$l") }.reduce(greatest(_, _))
+    // right-fold so the FIRST language in list order wins ties
+    val pred = LangStopwords.foldRight(lit("und")) { case ((l, _), other) =>
+      when(col(s"__s_$l") === best && best > 0, lit(l)).otherwise(other)
+    }
+    scored.select(col(key), pred.as("pred_lang"), best.as("best_score"))
+  }
+
+  /** Quality score: token count, mean token length, stopword ratio,
+   * uppercase ratio — all exact integer/4-dp arithmetic. */
+  def quality(df: DataFrame, key: String, text: String): DataFrame = {
+    val ts = tokens(col(text))
+    val nTok = size(ts).cast("long")
+    val nChar = length(col(text)).cast("long")
+    val sw = LangStopwords.flatMap(_._2).distinct
+    val nStop = size(filter(tokens(lower(col(text))), t => t.isInCollection(sw))).cast("long")
+    df.select(col(key),
+      nTok.as("n_tokens"),
+      nChar.as("n_chars"),
+      round(nChar.cast("double") / nTok, 4).as("mean_token_len"),
+      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+  }
+
+  /** Token counts: whitespace + regex word-ish (BPE-ish proxy). */
+  def tokenCount(df: DataFrame, key: String, text: String): DataFrame =
+    df.select(col(key),
+      size(tokens(col(text))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(text), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("re_tokens"))
+
+  /** Rolling polynomial fingerprint over tokens, mod 1e9+7. Exactly
+   * mirrors DuckDB list_reduce with a '0' sentinel head (both sides fold
+   * left over the same token sequence with the same integer ops). */
+  def fingerprint(df: DataFrame, key: String, text: String): DataFrame =
+    df.select(col(key),
+      aggregate(tokens(col(text)), lit(0L),
+        (acc, t) => pmod(acc * 31 + length(t).cast("long") * 7 + ascii(substring(t, 1, 1)).cast("long"),
+          lit(1000000007L))).as("fp"))
+}
