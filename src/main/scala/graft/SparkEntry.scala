@@ -137,8 +137,10 @@ object SparkEntry {
     "q10_similarity_topk" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       val snip = docs.where(col("doc_id") === 0)
-        .select(TextAnalysis.shingles(col("text")).as("snip"))
-      docs.select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+        .withColumn("__ts", TextAnalysis.tokens(col("text")))
+        .select(TextAnalysis.shinglesOf(col("__ts")).as("snip"))
+      docs.withColumn("__ts", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
         .crossJoin(broadcast(snip))
         .withColumn("score", round(
           size(array_intersect(col("sh"), col("snip"))).cast("double") /

@@ -285,3 +285,24 @@ case class CellDiskBoundExpr(lat: Expression, lon: Expression, res: Expression, 
       f: Expression, s: Expression, t: Expression, q: Expression) =
     copy(lat = f, lon = s, res = t, k = q)
 }
+
+/** All cells with Chebyshev distance in [kFrom, kTo] of `cell` — the
+ * geometric-growth band used by kNN (fewer driver rounds than
+ * ring-at-a-time; SURVEY §2.3 J6). */
+case class CellDiskBandExpr(cell: Expression, kFrom: Expression, kTo: Expression)
+    extends TernaryExpression with Generator with CodegenFallback {
+  override def first: Expression = cell
+  override def second: Expression = kFrom
+  override def third: Expression = kTo
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("band_cell", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val c = cell.eval(input); val f = kFrom.eval(input); val t = kTo.eval(input)
+    if (c == null || f == null || t == null) return Nil
+    val cl = c.asInstanceOf[Long]
+    (f.asInstanceOf[Int] to t.asInstanceOf[Int]).iterator
+      .flatMap(k => CellIndex.ring(cl, k)).distinct.map(InternalRow(_)).toSeq
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(cell = f, kFrom = s, kTo = t)
+}

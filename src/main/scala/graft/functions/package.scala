@@ -60,6 +60,10 @@ package object functions {
     column(CellDiskBoundExpr(expression(lat), expression(lon),
       expression(lit(res)), expression(k)))
 
+  /** Generator: cells with Chebyshev distance in [kFrom, kTo]. */
+  def cell_disk_band(cell: Column, kFrom: Column, kTo: Column): Column =
+    column(CellDiskBandExpr(expression(cell), expression(kFrom), expression(kTo)))
+
   /** Generator: covering cells of a polygon ring at `res`. */
   def cell_cover(ring: Column, res: Int): Column =
     column(CellCoverExpr(expression(ring), expression(lit(res))))

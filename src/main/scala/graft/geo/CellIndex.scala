@@ -70,13 +70,14 @@ object CellIndex {
     if (k == 0) return Array(cell)
     val r = res(cell); val n = 1L << r
     val cx = ix(cell); val cy = iy(cell)
-    val wrapDegenerate = 2L * k + 1 >= n // ring wraps onto itself in x
+    val wrapDegenerate = 2L * k + 1 >= n // a ±k x-span wraps onto itself
     val out = new scala.collection.mutable.LinkedHashSet[Long]
     var dy = -k
     while (dy <= k) {
       val y = cy + dy
       if (y >= 0 && y < n) {
         if (dy == -k || dy == k) {
+          // |dy| = k dominates: every x in the ±k span is at distance k
           if (wrapDegenerate) {
             var x = 0L
             while (x < n) { out += make(r, x, y); x += 1 }
@@ -84,7 +85,10 @@ object CellIndex {
             var dx = -k
             while (dx <= k) { out += make(r, java.lang.Math.floorMod(cx + dx, n), y); dx += 1 }
           }
-        } else {
+        } else if (2L * k <= n) {
+          // middle rows: cx±k has wrap-Chebyshev distance k only when
+          // k ≤ n/2 — beyond that the wrapped cell belongs to ring n-k
+          // (emitting it would DUPLICATE across rings; kNN counts it twice)
           out += make(r, java.lang.Math.floorMod(cx - k, n), y)
           out += make(r, java.lang.Math.floorMod(cx + k, n), y)
         }

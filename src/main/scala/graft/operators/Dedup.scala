@@ -33,7 +33,8 @@ object Dedup {
   /** MinHash signature matrix, long form: (key, h_idx, min_hash). Shuffle
    * is (key, h_idx)-partial-aggregated map-side — the scalable shape. */
   def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame = {
-    val sh = df.select(col(key), explode(TextAnalysis.shingles(col(text))).as("s"))
+    val sh = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
+      .select(col(key), explode(TextAnalysis.shinglesOf(col("__ts"))).as("s"))
     sh.crossJoin(spark_range_df(sh, numHashes))
       .groupBy(col(key), col("h_idx"))
       .agg(min(md5(concat(col("h_idx").cast("string"), lit(":"), col("s")))).as("min_hash"))
@@ -63,7 +64,8 @@ object Dedup {
       .where(col("key_a") < col("key_b"))
       .select("key_a", "key_b").distinct()
     // verify with exact Jaccard over shingle sets
-    val sets = df.select(col(key), TextAnalysis.shingles(col(text)).as("sh"))
+    val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
+      .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
     val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
     val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
     cand.join(sa, "key_a").join(sb, "key_b")
@@ -110,7 +112,8 @@ object Dedup {
   /** Direct n-gram Jaccard pairs (quadratic verify stage only — blocked by
    * shared-shingle equi-join so disjoint docs never pair). */
   def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double): DataFrame = {
-    val sets = df.select(col(key), TextAnalysis.shingles(col(text)).as("sh"))
+    val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
+      .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
     val ex = sets.select(col(key), explode(col("sh")).as("s"))
     val cand = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
       .where(col(s"x.$key") < col(s"y.$key"))

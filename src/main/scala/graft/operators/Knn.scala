@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{cell_disk_bound, cell_id, cell_ring}
+import graft.functions.{cell_disk_band, cell_disk_bound, cell_id}
 import graft.geo.CellIndex
 
 /**
@@ -70,11 +70,15 @@ object Knn {
     var acc: DataFrame = null // accumulated top-k candidates of unresolved queries
     var accPersisted: DataFrame = null // the cached plan backing `acc`
     var out: DataFrame = null // finished queries
-    var r = 0
-    while (r < maxRings && !unresolved.isEmpty) {
+    // geometric radius growth: bands [0,0], [1,2], [3,6], [7,14], … —
+    // log(maxRings) driver rounds instead of one per ring
+    var lo = 0
+    var r = 0 // band upper radius (inclusive), used in the bound
+    while (lo <= maxRings && !unresolved.isEmpty) {
+      r = if (lo == 0) 0 else math.min(lo * 2, maxRings)
       val ringCells = unresolved.select(
         col("__qkey"), col("__qlat"), col("__qlon"),
-        cell_ring(col("__qcell"), lit(r)).as("__cell"))
+        cell_disk_band(col("__qcell"), lit(lo), lit(r)).as("__cell"))
       val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
         .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tkey"), d2)
       val all = if (acc == null) cand else acc.union(cand)
@@ -106,7 +110,7 @@ object Knn {
       unresolved = stillOpen
       acc = topk.join(doneKeys, Seq("__qkey"), "left_anti")
         .select("__qkey", "__qlat", "__qlon", "__tkey", "dist_sq")
-      r += 1
+      lo = r + 1
     }
     // queries never resolved (target table smaller than k, or grid
     // exhausted): emit what they have

@@ -21,15 +21,21 @@ object TextAnalysis {
   /** Sorted distinct word 3-gram shingles (the dedup/similarity unit).
    * Guard: Spark's sequence(1,0) DESCENDS, so short docs get array().
    * DuckDB mirror: list_sort(list_distinct(list_transform(
-   *   generate_series(1, greatest(len(ts)-2,0)), i -> …))). */
-  def shingles(text: Column): Column = {
-    val ts = tokens(text)
+   *   generate_series(1, greatest(len(ts)-2,0)), i -> …))).
+   *
+   * PERF: call shinglesOf over a MATERIALIZED token column. Higher-order
+   * functions are interpreted (no codegen, no subexpression elimination),
+   * so element_at(split(text), i) inside the lambda re-splits the text per
+   * element — O(n²) splits per row (measured 10× slowdown on dedup ops).
+   * A column reference makes it O(1) per element. */
+  def shingles(text: Column): Column = shinglesOf(tokens(text))
+
+  def shinglesOf(ts: Column): Column =
     array_sort(array_distinct(
       when(size(ts) >= 3,
         transform(sequence(lit(1), size(ts) - 2), i =>
           concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
         .otherwise(array().cast("array<string>"))))
-  }
 
   /** Per-line search hits: (key, line, line_text) for lines containing
    * `term`. Modes mirror the reference: plain contains / case-insensitive /
@@ -83,16 +89,14 @@ object TextAnalysis {
   /** Quality score: token count, mean token length, stopword ratio,
    * uppercase ratio — all exact integer/4-dp arithmetic. */
   def quality(df: DataFrame, key: String, text: String): DataFrame = {
-    val ts = tokens(col(text))
-    val nTok = size(ts).cast("long")
-    val nChar = length(col(text)).cast("long")
     val sw = LangStopwords.flatMap(_._2).distinct
-    val nStop = size(filter(tokens(lower(col(text))), t => t.isInCollection(sw))).cast("long")
-    df.select(col(key),
-      nTok.as("n_tokens"),
-      nChar.as("n_chars"),
-      round(nChar.cast("double") / nTok, 4).as("mean_token_len"),
-      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+    df.select(col(key), col(text), tokens(lower(col(text))).as("__lts"))
+      .select(col(key),
+        size(tokens(col(text))).cast("long").as("n_tokens"),
+        length(col(text)).cast("long").as("n_chars"),
+        round(length(col(text)).cast("double") / size(tokens(col(text))), 4).as("mean_token_len"),
+        round(size(filter(col("__lts"), t => t.isInCollection(sw))).cast("double")
+          / size(tokens(col(text))), 4).as("stopword_ratio"))
   }
 
   /** Token counts: whitespace + regex word-ish (BPE-ish proxy). */

@@ -68,6 +68,19 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rings are pairwise disjoint and their union covers the grid") {
+    // regression: ring(k) for k > n/2 used to re-emit wrapped cells that
+    // belong to ring n-k, duplicating kNN candidates across bands
+    for (res <- 2 to 5) {
+      val n = 1L << res
+      val c = CellIndex.latLonToCell(37.3, -12.9, res)
+      val all = (0 to 2 * n.toInt).flatMap(k => CellIndex.ring(c, k))
+      assert(all.distinct.length == all.length,
+        s"res=$res: rings overlap (${all.length} vs ${all.distinct.length})")
+      assert(all.toSet.size == (n * n).toInt, s"res=$res: union misses cells")
+    }
+  }
+
   test("ring 0 is the cell; disk(2) has 25 cells away from poles") {
     val c = CellIndex.latLonToCell(10, 10, 8)
     assert(CellIndex.ring(c, 0).toSeq == Seq(c))
