@@ -1,0 +1,190 @@
+package graft.snap
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iceberg-style snapshot catalog, from scratch (no Iceberg runtime exists
+ * in this sandbox — SURVEY §7.1/§7.5): a table is a directory of immutable
+ * parquet data files plus a chain of JSON manifests; the CURRENT pointer
+ * is flipped by atomic rename, so readers never observe a torn commit.
+ *
+ * Layout:
+ *   <root>/<table>/data/snap-<id>/…parquet      immutable data files
+ *   <root>/<table>/manifest-<id>.json           snapshot metadata
+ *   <root>/<table>/CURRENT                      file containing <id>
+ *
+ * Manifest records: snapshot id, parent id, completed work units
+ * ("waves" — the resume key), per-file row counts, and per-partition
+ * lineage rows (partition id, input/output rows, wall ms) — the north
+ * rule's "per-partition lineage + metrics".
+ *
+ * Commit protocol (SURVEY §7.4-3): write data files → write manifest to a
+ * temp name → fsync-equivalent move → atomic rename CURRENT.tmp→CURRENT.
+ * Idempotent re-runs: committing an already-completed wave is a no-op
+ * (the wave id is recorded in the manifest).
+ */
+object SnapshotCatalog {
+
+  final case class LineageRow(
+      wave: Int, partitionId: Int, inputRows: Long, outputRows: Long, wallMs: Long)
+
+  final case class Manifest(
+      table: String,
+      snapshotId: Long,
+      parentId: Long,
+      completedWaves: Seq[Int],
+      dataDirs: Seq[String],
+      rowsPerWave: Map[Int, Long],
+      lineage: Seq[LineageRow])
+
+  // ---- JSON (hand-rolled; no JSON dep in the offline sandbox) ------------
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  private def render(m: Manifest): String = {
+    val lin = m.lineage.map(l =>
+      s"""{"wave":${l.wave},"partition_id":${l.partitionId},"input_rows":${l.inputRows},""" +
+        s""""output_rows":${l.outputRows},"wall_ms":${l.wallMs}}""").mkString("[", ",", "]")
+    val rows = m.rowsPerWave.toSeq.sortBy(_._1)
+      .map { case (w, n) => s"${q(w.toString)}: $n" }.mkString("{", ",", "}")
+    s"""{"table":${q(m.table)},"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},
+       |"completed_waves":${m.completedWaves.sorted.mkString("[", ",", "]")},
+       |"data_dirs":${m.dataDirs.map(q).mkString("[", ",", "]")},
+       |"rows_per_wave":$rows,
+       |"lineage":$lin}""".stripMargin
+  }
+
+  // minimal parser for the fields we wrote (flat, no nested strings with
+  // brackets — safe for our own output)
+  private def parse(s: String): Manifest = {
+    def longField(name: String): Long =
+      s""""$name":\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+    def strField(name: String): String =
+      ("\"" + name + "\":\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    def intList(name: String): Seq[Int] = {
+      val body = ("\"" + name + "\":\\s*\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      body.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    }
+    def strList(name: String): Seq[String] = {
+      val body = ("\"" + name + "\":\\s*\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    }
+    def rowsMap: Map[Int, Long] = {
+      val body = "\"rows_per_wave\":\\s*\\{([^}]*)\\}".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      "\"(\\d+)\":\\s*(\\d+)".r.findAllMatchIn(body)
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    }
+    def lineage: Seq[LineageRow] = {
+      val body = "\"lineage\":\\s*\\[(.*)\\]".r
+        .findFirstMatchIn(s.replace("\n", " ")).map(_.group(1)).getOrElse("")
+      ("""\{"wave":(\d+),"partition_id":(\d+),"input_rows":(\d+),""" +
+        """"output_rows":(\d+),"wall_ms":(\d+)\}""").r.findAllMatchIn(body)
+        .map(m => LineageRow(m.group(1).toInt, m.group(2).toInt,
+          m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)).toSeq
+    }
+    Manifest(strField("table"), longField("snapshot_id"), longField("parent_id"),
+      intList("completed_waves"), strList("data_dirs"), rowsMap, lineage)
+  }
+
+  // ---- catalog ops --------------------------------------------------------
+
+  private def tableDir(root: String, table: String): Path = Paths.get(root, table)
+
+  def currentSnapshotId(root: String, table: String): Option[Long] = {
+    val cur = tableDir(root, table).resolve("CURRENT")
+    if (Files.exists(cur)) Some(new String(Files.readAllBytes(cur)).trim.toLong) else None
+  }
+
+  def currentManifest(root: String, table: String): Option[Manifest] =
+    currentSnapshotId(root, table).map { id =>
+      parse(new String(Files.readAllBytes(tableDir(root, table).resolve(s"manifest-$id.json"))))
+    }
+
+  /** Atomically commit a new manifest (data dirs must already be written). */
+  def commitManifest(root: String, table: String, m: Manifest): Unit = {
+    val dir = tableDir(root, table)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(s"manifest-${m.snapshotId}.json"),
+      render(m).getBytes("UTF-8"))
+    val tmp = dir.resolve("CURRENT.tmp")
+    Files.write(tmp, m.snapshotId.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the CURRENT snapshot of a table. */
+  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    val m = currentManifest(root, table)
+      .getOrElse(throw new IllegalStateException(s"no CURRENT snapshot for $table"))
+    val dirs = m.dataDirs.map(d => tableDir(root, table).resolve(d).toString)
+    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+  }
+
+  /** Lineage rows of the CURRENT snapshot as a DataFrame. */
+  def lineage(spark: SparkSession, root: String, table: String): DataFrame = {
+    import spark.implicits._
+    currentManifest(root, table).map(_.lineage).getOrElse(Nil).toDF()
+  }
+
+  /**
+   * Resumable wave-partitioned run — the north rule's checkpoint/resume.
+   *
+   * The input is split into `waves` deterministic buckets by
+   * pmod(xxhash64(key), waves). Each wave: transform → write an immutable
+   * data dir → commit a new snapshot whose manifest marks the wave
+   * completed and carries per-partition lineage. A re-run (after a crash
+   * or a kill) skips every wave already in the CURRENT manifest — the
+   * anti-join of SURVEY §2.7 done on metadata, not data.
+   *
+   * @return the number of waves actually executed this run
+   */
+  def resumableRun(
+      spark: SparkSession,
+      input: DataFrame,
+      keyCol: String,
+      waves: Int,
+      root: String,
+      table: String)(transform: DataFrame => DataFrame): Int = {
+    val done = currentManifest(root, table).map(_.completedWaves.toSet).getOrElse(Set.empty)
+    var ran = 0
+    (0 until waves).foreach { w =>
+      if (!done.contains(w)) {
+        val t0 = System.nanoTime()
+        val waveIn = input.where(pmod(xxhash64(col(keyCol)), lit(waves)) === w)
+        val out = transform(waveIn)
+        val prev = currentManifest(root, table)
+        val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
+        val dataDir = s"data/snap-$snapId"
+        val target = tableDir(root, table).resolve(dataDir)
+        out.write.mode("overwrite").parquet(target.toString)
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        // per-partition lineage: group output by its physical partition
+        val inRows = waveIn.count()
+        val written = spark.read.parquet(target.toString)
+        val perPart = written.groupBy(spark_partition_id().as("pid"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => LineageRow(w, r.getInt(0), inRows, r.getLong(1), wallMs))
+        val outRows = perPart.map(_.outputRows).sum
+        val m = Manifest(
+          table = table,
+          snapshotId = snapId,
+          parentId = prev.map(_.snapshotId).getOrElse(-1L),
+          completedWaves = (prev.map(_.completedWaves).getOrElse(Nil) :+ w).sorted,
+          dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir,
+          rowsPerWave = prev.map(_.rowsPerWave).getOrElse(Map.empty) + (w -> outRows),
+          lineage = prev.map(_.lineage).getOrElse(Nil) ++ perPart)
+        commitManifest(root, table, m)
+        ran += 1
+      }
+    }
+    ran
+  }
+}

@@ -1,0 +1,71 @@
+package graft.snap
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+class SnapshotCatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snap").toString
+
+  private def input = (0L until 1000L).map(i => (i, s"u$i", i % 7)).toDF("id", "url", "v")
+
+  test("commit + read round trip with atomic CURRENT pointer") {
+    val root = freshRoot()
+    val ran = SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "t1")(
+      df => df.withColumn("out", col("v") * 2))
+    assert(ran == 4)
+    val back = SnapshotCatalog.read(spark, root, "t1")
+    assert(back.count() == 1000)
+    assert(back.where(col("out") =!= col("v") * 2).count() == 0)
+    assert(SnapshotCatalog.currentSnapshotId(root, "t1").contains(3L))
+  }
+
+  test("resume: a rerun skips completed waves; partial run completes to the same result") {
+    val root = freshRoot()
+    // simulate a crash after 2 of 6 waves: run a transform that THROWS on
+    // wave 3's data the first time
+    var crashed = false
+    try {
+      SnapshotCatalog.resumableRun(spark, input, "url", waves = 6, root, "t2") { df =>
+        val m = SnapshotCatalog.currentManifest(root, "t2")
+        if (m.exists(_.completedWaves.size == 2)) throw new RuntimeException("injected crash")
+        df.withColumn("out", col("v") + 1)
+      }
+    } catch { case e: RuntimeException if e.getMessage == "injected crash" => crashed = true }
+    assert(crashed)
+    val doneAfterCrash = SnapshotCatalog.currentManifest(root, "t2").get.completedWaves
+    assert(doneAfterCrash.size == 2)
+
+    // rerun: only the remaining waves execute
+    val ran = SnapshotCatalog.resumableRun(spark, input, "url", waves = 6, root, "t2")(
+      df => df.withColumn("out", col("v") + 1))
+    assert(ran == 4)
+    val back = SnapshotCatalog.read(spark, root, "t2")
+    assert(back.count() == 1000)
+    assert(back.select("id").distinct().count() == 1000)
+    // idempotent: another rerun is a no-op
+    assert(SnapshotCatalog.resumableRun(spark, input, "url", waves = 6, root, "t2")(
+      df => df.withColumn("out", col("v") + 1)) == 0)
+  }
+
+  test("lineage rows carry per-partition counters") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 2, root, "t3")(identity[org.apache.spark.sql.DataFrame])
+    val lin = SnapshotCatalog.lineage(spark, root, "t3")
+    assert(lin.columns.toSet == Set("wave", "partitionId", "inputRows", "outputRows", "wallMs"))
+    val byWave = lin.groupBy("wave").agg(sum("outputRows").as("out")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byWave.values.sum == 1000)
+    assert(byWave.keySet == Set(0, 1))
+    // input rows recorded per wave match output for the identity transform
+    val inByWave = lin.select("wave", "inputRows").distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(inByWave == byWave)
+  }
+}
