@@ -1,0 +1,237 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators._
+
+/**
+ * The engine's public facade — one thin entry point per reference tool
+ * (reference: tools/registration.py:31-656 registers ~25 MCP tools; each
+ * row below cites the tool it re-expresses). Thin like the reference's
+ * wrappers: every method is a declarative DataFrame transform; Catalyst
+ * owns the physical plan.
+ *
+ * Conventions: `pages` is any DataFrame with the BASELINE.json input_hint
+ * shape (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+ * lang STRING).
+ */
+object Engine {
+
+  // ---- corpus registration / listing (S1/S2, registration.py:89-136) ----
+
+  /** Language histogram of a corpus (Project.scan_files' languages map,
+   * models/project.py:62-89). */
+  def languageHistogram(pages: DataFrame): DataFrame =
+    pages.groupBy("lang").count()
+
+  /** Glob-style member listing (list_files, tools/file_operations.py:13-74):
+   * glob → anchored regex, sorted output. */
+  def listPages(pages: DataFrame, glob: String): DataFrame = {
+    val regex = "^" + java.util.regex.Pattern.quote(glob)
+      .replace("**", "\u0001").replace("*", "\u0002")
+      .replace("\u0001", "\\E.*\\Q").replace("\u0002", "\\E[^/]*\\Q") + "$"
+    pages.select("url").where(col("url").rlike(regex)).orderBy("url")
+  }
+
+  /** Per-page metadata (get_file_metadata, file_operations.py:176-234). */
+  def pageMetadata(pages: DataFrame): DataFrame =
+    pages.select(col("url"), col("warc_ts"), col("lang"),
+      length(col("html")).cast("long").as("size_bytes"),
+      size(split(col("text"), "\n")).cast("long").as("line_count"))
+
+  /** Content slice (get_file, file_operations.py:77-173). */
+  def pageLines(pages: DataFrame, startLine: Int, maxLines: Int): DataFrame =
+    TextAnalysis.sliceLines(pages, "url", "text", startLine, maxLines)
+
+  // ---- parse / AST surface (T1-T4, tools/ast_operations.py) -------------
+
+  /** Flattened node table (get_ast, ast_operations.py:17-66). */
+  def nodes(pages: DataFrame): DataFrame =
+    pages.select(col("url"), parse_html_nodes(col("html")).as(Seq(
+      "node_id", "parent_id", "depth", "kind", "name", "attrs",
+      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col")))
+
+  /** Most-specific node containing a point — interval join + min-span
+   * (find_node_at_position, models/ast.py:87-109). */
+  def nodeAtPosition(pages: DataFrame, url: String, row: Int, colPos: Int): DataFrame = {
+    val n = nodes(pages.where(col("url") === url))
+      .where((col("start_row") < row ||
+        (col("start_row") === row && col("start_col") <= colPos)) &&
+        (col("end_row") > row ||
+          (col("end_row") === row && col("end_col") > colPos)))
+    n.orderBy((col("end_byte") - col("start_byte")).asc, col("depth").desc).limit(1)
+  }
+
+  /** Byte-identical extracted text per url (the north-rule invariant). */
+  def extractText(pages: DataFrame): DataFrame =
+    pages.select(col("url"), extract_text_bytes(col("html")).as("text_bytes"),
+      extract_text(col("html")).as("text"))
+
+  // ---- structural queries (Q1-Q3, tools/search.py:139-349) --------------
+
+  /** Run a named extraction spec over the corpus (run_query). */
+  def query(pages: DataFrame, spec: String, captureFilter: Option[String] = None,
+      maxResults: Option[Int] = None): DataFrame = {
+    val caps = pages.select(col("url"), extract_captures(col("html"), spec).as(Seq(
+      "capture", "text", "start_byte", "end_byte",
+      "start_row", "start_col", "end_row", "end_col")))
+    val filtered = captureFilter.fold(caps)(f => caps.where(col("capture") === f))
+    maxResults.fold(filtered)(filtered.limit)
+  }
+
+  /** Grouped symbol extraction (get_symbols, tools/analysis.py:22-261):
+   * capture category → list of (text, location) structs. */
+  def symbols(pages: DataFrame, specs: Seq[String] = Seq("headings", "links", "meta", "title")): DataFrame = {
+    val all = specs.map(sp => query(pages, sp)).reduce(_ union _)
+    all.withColumn("symbol_type", split(col("capture"), "\\.").getItem(0))
+      .groupBy("url", "symbol_type")
+      .agg(sort_array(collect_list(struct(
+        col("text"), col("start_row"), col("start_col")))).as("symbols"))
+  }
+
+  /** Per-page complexity metrics (analyze_complexity, analysis.py:803-927). */
+  def complexity(pages: DataFrame): DataFrame =
+    nodes(pages).groupBy("url").agg(
+      sum(when(col("kind") === "element", 1L).otherwise(0L)).as("element_count"),
+      sum(when(col("kind") === "text", 1L).otherwise(0L)).as("text_node_count"),
+      sum(when(col("kind") === "comment", 1L).otherwise(0L)).as("comment_count"),
+      max("depth").as("max_depth"),
+      sum(when(col("name").isin("a", "img", "script", "link"), 1L).otherwise(0L))
+        .as("reference_count"))
+
+  /** Security/filter gate BEFORE parse (validate_file_access,
+   * utils/security.py:11-55 + the 5 MB size gate config.py:39): drop
+   * oversized pages and urls outside the allowed prefixes. */
+  def securityGate(pages: DataFrame, maxBytes: Long = 5L * 1024 * 1024,
+      allowedPrefixes: Seq[String] = Nil): DataFrame = {
+    val sized = pages.where(length(col("html")) <= maxBytes)
+    if (allowedPrefixes.isEmpty) sized
+    else sized.where(allowedPrefixes.map(p => col("url").startsWith(p)).reduce(_ || _))
+  }
+
+  /** Corpus structure stats (analyze_project_structure dir/ext counters,
+   * tools/analysis.py:504-530): counts by site and by path extension,
+   * with cube margins (the A2 grouping-sets flavour). */
+  def corpusStats(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("site", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .withColumn("ext", lower(substring_index(col("url"), ".", -1)))
+      .cube(col("site"), col("ext"))
+      .agg(count(lit(1)).as("n"), sum(length(col("html"))).cast("long").as("bytes"))
+
+  /** Per-language sample of pages (key-files sampling, analysis.py:532-583):
+   * first `depth` urls per lang — W3 row_number over a per-lang window. */
+  def sampleByLang(pages: DataFrame, depth: Int): DataFrame =
+    pages.withColumn("__rn",
+      row_number().over(Window.partitionBy("lang").orderBy("url")))
+      .where(col("__rn") <= depth).drop("__rn")
+
+  /** Compact node summaries (summarize_node, models/ast.py:46-84): type,
+   * points, ≤50-char first-line preview. */
+  def summarizeNodes(pages: DataFrame): DataFrame =
+    nodes(pages).join(pages.select("url", "html"), "url")
+      .withColumn("preview",
+        substring(split(utf8_decode_replace(
+          expr("substring(html, start_byte + 1, least(end_byte - start_byte, 200))")), "\n")
+          .getItem(0), 0, 50))
+      .select("url", "kind", "name", "start_row", "start_col", "end_row", "end_col", "preview")
+
+  /** Range ANTI-join: drop nodes whose start falls inside any node of
+   * `containerName` (the exclude_class_methods shape, P6/J4,
+   * tools/analysis.py:287-305). */
+  def excludeWithin(nodeDf: DataFrame, containerName: String): DataFrame = {
+    val containers = nodeDf.where(col("name") === containerName)
+      .select(col("url").as("__curl"), col("start_byte").as("__cs"), col("end_byte").as("__ce"))
+    nodeDf.join(containers,
+      col("url") === col("__curl") && col("name") =!= containerName &&
+        col("start_byte") > col("__cs") && col("start_byte") < col("__ce"),
+      "left_anti")
+  }
+
+  // ---- text search (X1, tools/search.py:12-136) --------------------------
+
+  def findText(pages: DataFrame, term: String,
+      caseInsensitive: Boolean = false, wholeWord: Boolean = false): DataFrame =
+    TextAnalysis.textSearch(pages, "url", "text", term, caseInsensitive, wholeWord)
+
+  /** Search hits with ±n context lines (W1, tools/search.py:87-100):
+   * a per-url line window collecting (line, text, is_match) structs. */
+  def findTextWithContext(pages: DataFrame, term: String, context: Int): DataFrame = {
+    val lines = pages.select(col("url"),
+      posexplode(split(col("text"), "\n")).as(Seq("line0", "line_text")))
+      .withColumn("line", (col("line0") + 1).cast("long")).drop("line0")
+    val w = Window.partitionBy("url").orderBy("line").rowsBetween(-context, context)
+    lines
+      .withColumn("context", collect_list(struct(col("line"), col("line_text"))).over(w))
+      .where(col("line_text").contains(term))
+      .select(col("url"), col("line"), col("line_text"), col("context"))
+  }
+
+  /** Similarity join against a snippet (find_similar_code,
+   * tools/search.py:401-501): containment |A∩B|/|A| + top-k. */
+  def findSimilar(pages: DataFrame, snippet: String, threshold: Double, k: Int): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val snipShingles = Seq(snippet).toDF("t")
+      .withColumn("__ts", TextAnalysis.tokens(col("t")))
+      .select(TextAnalysis.shinglesOf(col("__ts")).as("snip"))
+    pages.withColumn("__ts", TextAnalysis.tokens(col("text")))
+      .select(col("url"), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
+      .crossJoin(broadcast(snipShingles))
+      .withColumn("similarity", round(
+        size(array_intersect(col("sh"), col("snip"))).cast("double") /
+          greatest(size(col("snip")), lit(1)), 4))
+      .where(col("similarity") >= threshold)
+      .orderBy(col("similarity").desc, col("url"))
+      .limit(k)
+      .select("url", "similarity")
+  }
+
+  /** Symbol-usage join (find_usage, tools/registration.py:574-611). */
+  def findUsage(pages: DataFrame, spec: String, symbolText: String): DataFrame =
+    query(pages, spec).where(col("text") === symbolText)
+
+  // ---- geo / spatial (the north rule) ------------------------------------
+
+  /** Geo entities with cell ids at `res`. */
+  def geoEntities(pages: DataFrame, res: Int): DataFrame =
+    pages.select(col("url"), extract_geo(col("html")).as(Seq("entity_idx", "source", "lat", "lon")))
+      .withColumn("cell_id", cell_id(col("lat"), col("lon"), res))
+
+  def spatialJoin(points: DataFrame, polygons: DataFrame,
+      latCol: String, lonCol: String, ringCol: String,
+      res: Int, saltBuckets: Int = 1): DataFrame =
+    SpatialJoin(points, polygons, col(latCol), col(lonCol), col(ringCol), res, saltBuckets)
+
+  def knn(queries: DataFrame, qKey: String, qLat: String, qLon: String,
+      targets: DataFrame, tKey: String, tLat: String, tLon: String,
+      k: Int, res: Int): DataFrame =
+    Knn(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res)
+
+  def rasterTiles(points: DataFrame, lat: String, lon: String, zoom: Int): DataFrame =
+    Tiler.raster(points, lat, lon, zoom)
+
+  def vectorTiles(entities: DataFrame, key: String, entityIdx: String,
+      lat: String, lon: String, zoom: Int): DataFrame =
+    Tiler.vector(entities, key, entityIdx, lat, lon, zoom)
+
+  // ---- training-data ops --------------------------------------------------
+
+  def dedupExact(df: DataFrame, key: String, text: String): DataFrame =
+    Dedup.exact(df, key, text)
+  def dedupMinhash(df: DataFrame, key: String, text: String,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame =
+    Dedup.minhashLsh(df, key, text, bands, rowsPerBand, threshold)
+  def dedupSimhash(df: DataFrame, key: String, text: String, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(df, key, text, maxHamming)
+  def annTopK(queries: DataFrame, qKey: String, qVec: String,
+      corpus: DataFrame, cKey: String, cVec: String, k: Int): DataFrame =
+    Similarity.bruteTopK(queries, qKey, qVec, corpus, cKey, cVec, k)
+  def langId(df: DataFrame, key: String, text: String): DataFrame =
+    TextAnalysis.langId(df, key, text)
+  def quality(df: DataFrame, key: String, text: String): DataFrame =
+    TextAnalysis.quality(df, key, text)
+}

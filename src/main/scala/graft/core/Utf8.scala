@@ -19,6 +19,12 @@ object Utf8 {
 
   /** Decode `bytes[from, until)` to a String with replacement semantics. */
   def decodeReplace(bytes: Array[Byte], from: Int, until: Int): String = {
+    // ASCII fast path (the overwhelmingly common case at corpus scale):
+    // one latin-1 copy instead of per-char StringBuilder appends
+    var p = from
+    while (p < until && bytes(p) >= 0) p += 1
+    if (p == until)
+      return new String(bytes, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
     val sb = new java.lang.StringBuilder(until - from)
     var i = from
     while (i < until) {

@@ -1,0 +1,106 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+import graft.sources.Fixtures
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val pages = Fixtures.pages(spark, 200, partitions = 4).toDF()
+
+  test("languageHistogram and listPages glob semantics") {
+    val hist = Engine.languageHistogram(pages).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 200 && hist.keySet == Set("en", "de", "fr", "ja"))
+    val news = Engine.listPages(pages, "https://*.example/news/*.html")
+    assert(news.count() == pages.where(col("url").contains("/news/")).count())
+    assert(Engine.listPages(pages, "https://site1.example/**").count() ==
+      pages.where(col("url").startsWith("https://site1.example/")).count())
+  }
+
+  test("pageMetadata, pageLines") {
+    val md = Engine.pageMetadata(pages)
+    assert(md.where(col("size_bytes") <= 0).count() == 0)
+    assert(Engine.pageLines(pages, 0, 2).count() == 200)
+  }
+
+  test("nodeAtPosition finds the most-specific containing node") {
+    val url = pages.select("url").orderBy("url").first().getString(0)
+    // byte 0 row 0 col 0 is inside the doctype
+    val hit = Engine.nodeAtPosition(pages, url, 0, 1).collect()(0)
+    assert(hit.getAs[String]("kind") == "doctype")
+  }
+
+  test("query + symbols grouping") {
+    val heads = Engine.query(pages, "headings", captureFilter = Some("heading.h1"))
+    assert(heads.count() == 200)
+    val sym = Engine.symbols(pages)
+    assert(sym.where(col("symbol_type") === "heading").count() == 200)
+    assert(sym.columns.toSet == Set("url", "symbol_type", "symbols"))
+    val err = intercept[Exception](Engine.query(pages, "not_a_spec").collect())
+    assert(err.getMessage.contains("links") || err.getCause != null)
+  }
+
+  test("complexity metrics") {
+    val c = Engine.complexity(pages)
+    assert(c.count() == 200)
+    assert(c.where(col("max_depth") < 3).count() == 0)
+    assert(c.where(col("comment_count") =!= 1).count() == 0) // fixture has 1 comment/page
+  }
+
+  test("findText modes") {
+    assert(Engine.findText(pages, "Entity").count() == 200)
+    assert(Engine.findText(pages, "entity", caseInsensitive = true).count() >= 200)
+    assert(Engine.findText(pages, "ntity", wholeWord = true).count() == 0)
+  }
+
+  test("findSimilar containment top-k") {
+    val txt = pages.where(col("url").contains("/0.html")).select("text").first().getString(0)
+    val top = Engine.findSimilar(pages, txt, 0.5, 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getDouble(1) == 1.0) // the page itself
+  }
+
+  test("securityGate, corpusStats, sampleByLang") {
+    assert(Engine.securityGate(pages, maxBytes = 100).count() == 0)
+    assert(Engine.securityGate(pages).count() == 200)
+    assert(Engine.securityGate(pages, allowedPrefixes = Seq("https://site1.example/")).count() ==
+      pages.where(col("url").startsWith("https://site1.example/")).count())
+    val stats = Engine.corpusStats(pages)
+    // cube: grand total row has both site and ext null
+    val total = stats.where(col("site").isNull && col("ext").isNull).select("n").first().getLong(0)
+    assert(total == 200)
+    val sampled = Engine.sampleByLang(pages, 3)
+    assert(sampled.count() == 12) // 4 langs x 3
+  }
+
+  test("findTextWithContext returns a window around hits") {
+    val hits = Engine.findTextWithContext(pages, "Entity", 1).collect()
+    assert(hits.length == 200)
+    hits.take(5).foreach { r =>
+      val ctx = r.getSeq[org.apache.spark.sql.Row](3)
+      assert(ctx.nonEmpty && ctx.size <= 3)
+      assert(ctx.exists(_.getLong(0) == r.getLong(1))) // the hit line itself
+    }
+  }
+
+  test("summarizeNodes previews and excludeWithin anti-join") {
+    val sums = Engine.summarizeNodes(pages.limit(5))
+    assert(sums.where(length(col("preview")) > 50).count() == 0)
+    val n = Engine.nodes(pages.limit(10))
+    val outside = Engine.excludeWithin(n, "body")
+    // everything inside body is dropped; html/head/title/meta/doctype remain
+    assert(outside.where(col("name") === "h1").count() == 0)
+    assert(outside.where(col("name") === "title").count() == 10)
+  }
+
+  test("geoEntities + spatial surface") {
+    val g = Engine.geoEntities(pages, 8)
+    assert(g.count() > 200) // >= 1 entity per page (meta duplicated by ICBM)
+    assert(g.where(col("cell_id").isNull).count() == 0)
+  }
+}
