@@ -326,14 +326,13 @@ object SparkEntry {
 
     "q12_ngram_jaccard" ->
       (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-         |cand AS (SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
-         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id)
+         |inter AS (SELECT x.doc_id AS key_a, y.doc_id AS key_b, count(*) AS i
+         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
          |SELECT key_a, key_b, jaccard FROM (
-         |  SELECT key_a, key_b,
-         |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
-         |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
-         |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
+         |  SELECT key_a, key_b, round(i::DOUBLE / (a.n + b.n - i), 4) AS jaccard
+         |  FROM inter JOIN sizes a ON a.doc_id = key_a JOIN sizes b ON b.doc_id = key_b)
          |WHERE jaccard >= 0.05""".stripMargin),
 
     "q13_minhash_lsh" ->

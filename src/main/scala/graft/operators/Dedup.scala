@@ -33,8 +33,14 @@ object Dedup {
   /** MinHash signature matrix, long form: (key, h_idx, min_hash). Shuffle
    * is (key, h_idx)-partial-aggregated map-side — the scalable shape. */
   def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame = {
+    // explode_outer, NOT explode: inner explode makes Catalyst infer
+    // size(arr)>0 constraints that are pushed below the projection and
+    // re-evaluate the whole shingle expression 3x per row at the scan
+    // (observed in plans; 4x wall cost). The cheap isNotNull filter on
+    // the exploded column replaces them.
     val sh = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
-      .select(col(key), explode(TextAnalysis.shinglesOf(col("__ts"))).as("s"))
+      .select(col(key), explode_outer(TextAnalysis.shinglesOf(col("__ts"))).as("s"))
+      .where(col("s").isNotNull)
     sh.crossJoin(spark_range_df(sh, numHashes))
       .groupBy(col(key), col("h_idx"))
       .agg(min(md5(concat(col("h_idx").cast("string"), lit(":"), col("s")))).as("min_hash"))
@@ -109,21 +115,26 @@ object Dedup {
       .select("key_a", "key_b", "hamming").distinct()
   }
 
-  /** Direct n-gram Jaccard pairs (quadratic verify stage only — blocked by
-   * shared-shingle equi-join so disjoint docs never pair). */
+  /** Direct n-gram Jaccard pairs, blocked by shared-shingle equi-join so
+   * disjoint docs never pair. The intersection size is computed BY the
+   * join itself (group-by-pair count of shared shingles) — no per-pair
+   * array materialization, so the verify stage is one hash aggregate
+   * (was array_intersect over full arrays per candidate: 5x slower). */
   def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double): DataFrame = {
     val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
-    val ex = sets.select(col(key), explode(col("sh")).as("s"))
-    val cand = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
+    val sizes = sets.select(col(key), size(col("sh")).cast("long").as("n"))
+    val ex = sets.select(col(key), explode_outer(col("sh")).as("s"))
+      .where(col("s").isNotNull) // see minhashLong: avoids constraint-pushdown re-evaluation
+    val inter = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
       .where(col(s"x.$key") < col(s"y.$key"))
-      .select(col(s"x.$key").as("key_a"), col(s"y.$key").as("key_b")).distinct()
-    val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
-    val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
-    cand.join(sa, "key_a").join(sb, "key_b")
+      .groupBy(col(s"x.$key").as("key_a"), col(s"y.$key").as("key_b"))
+      .agg(count(lit(1)).as("inter"))
+    val na = sizes.select(col(key).as("key_a"), col("n").as("n_a"))
+    val nb = sizes.select(col(key).as("key_b"), col("n").as("n_b"))
+    inter.join(na, "key_a").join(nb, "key_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("key_a", "key_b", "jaccard")
   }
