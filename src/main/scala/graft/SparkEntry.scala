@@ -266,7 +266,53 @@ object SparkEntry {
     "q32_union_sources" -> ((s, d) =>
       tbl(s, d, "documents").select(col("source").as("v"))
         .union(tbl(s, d, "events").select(col("event_type").as("v")))
-        .distinct())
+        .distinct()),
+
+    // ---- join variants / set ops / signatures (round-out coverage) --------
+    "q33_semi_join" -> ((s, d) => {
+      val c = tbl(s, d, "customer"); val o = tbl(s, d, "orders")
+      c.join(o.where(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    "q34_anti_join" -> ((s, d) => {
+      val c = tbl(s, d, "customer"); val o = tbl(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+
+    "q35_rollup_lineitem" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))),
+
+    "q36_except_sources" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("source").as("v")).distinct()
+        .except(tbl(s, d, "events").select(col("event_type").as("v")).distinct())),
+
+    "q37_minhash_signatures" -> ((s, d) =>
+      Dedup.minhashLong(tbl(s, d, "documents").where(col("doc_id") < 50), "doc_id", "text", 4)),
+
+    "q38_simhash_values" -> ((s, d) =>
+      Dedup.simhash(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q39_node_depth_histogram" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
+          "node_id", "parent_id", "depth", "kind", "name", "attrs",
+          "sb", "eb", "sr", "sc", "er", "ec")))
+        .groupBy(col("depth").cast("long").as("depth"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q40_window_rank_value" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      tbl(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          rank().over(w).cast("long").as("rnk"),
+          first(col("event_id")).over(w).as("top_event"))
+        .where(col("rnk") <= 5)
+    })
   )
 
   // =========================================================================
@@ -494,6 +540,55 @@ object SparkEntry {
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
 
     "q32_union_sources" ->
-      "SELECT source AS v FROM documents UNION SELECT event_type AS v FROM events"
+      "SELECT source AS v FROM documents UNION SELECT event_type AS v FROM events",
+
+    "q33_semi_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
+
+    "q34_anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    "q35_rollup_lineitem" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "sum(CAST(l_quantity AS BIGINT)) AS qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    "q36_except_sources" ->
+      ("SELECT DISTINCT source AS v FROM documents " +
+        "EXCEPT SELECT DISTINCT event_type AS v FROM events"),
+
+    "q37_minhash_signatures" ->
+      ("""WITH sh AS (SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
+        |  generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+        |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])))) AS s
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, j.h_idx, min(md5(j.h_idx::VARCHAR || ':' || s)) AS min_hash
+        |FROM sh CROSS JOIN (SELECT unnest(range(4)) AS h_idx) j GROUP BY doc_id, j.h_idx""".stripMargin),
+
+    "q38_simhash_values" ->
+      ("""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+        |bits AS (SELECT doc_id, j.j,
+        |  CASE WHEN ascii(substring(h, j.j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j) j),
+        |sums AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS simhash
+        |FROM sums GROUP BY doc_id""".stripMargin),
+
+    "q39_node_depth_histogram" ->
+      ("""SELECT CAST(0 AS BIGINT) AS depth, count(*) AS n FROM documents
+        |UNION ALL SELECT 1, 2*count(*) FROM documents
+        |UNION ALL SELECT 2, 2*count(*) FROM documents
+        |UNION ALL SELECT 3, sum(4 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) FROM documents
+        |UNION ALL SELECT 4, sum(3 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) FROM documents""".stripMargin),
+
+    "q40_window_rank_value" ->
+      ("SELECT event_type, event_id, rnk, top_event FROM (" +
+        "SELECT event_type, event_id, " +
+        "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+        "first_value(event_id) OVER w AS top_event " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)" +
+        ") WHERE rnk <= 5")
   )
 }

@@ -58,6 +58,22 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == bruteForcePairs)
   }
 
+  test("spatial join row set identical in the SHUFFLE-join regime (broadcast off, salted)") {
+    // at 100 TB the polygon side can exceed the broadcast threshold; force
+    // the shuffle path and prove salting preserves the exact row set
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7, saltBuckets = 8)
+        .select("page_id", "entity_idx", "polygon_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == bruteForcePairs)
+      val plan = SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7, saltBuckets = 8)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), "expected a shuffle join in this regime")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("skew cluster actually hits the skew polygon (fixture sanity)") {
     val skewHits = bruteForcePairs.count(_._3 == 0L)
     assert(skewHits > nPages * Fixtures.SkewFraction * 0.8, s"skewHits=$skewHits")
