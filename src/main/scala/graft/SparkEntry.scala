@@ -312,7 +312,34 @@ object SparkEntry {
           rank().over(w).cast("long").as("rnk"),
           first(col("event_id")).over(w).as("top_event"))
         .where(col("rnk") <= 5)
-    })
+    }),
+
+    // ---- rows-only checks (not SQL-expressible; driver records weaker
+    // checks per the contract; full verification lives in ScalaTest) ------
+    "q41_ann_lsh" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 20).select(col("vec_id").as("q_vec"), col("embedding"))
+      Similarity.lshTopK(q, "q_vec", "embedding", e, "vec_id", "embedding", k = 5, bits = 4)
+    }),
+
+    "q42_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.imageMeta(Multimodal.syntheticMedia(s, 300)).toDF()
+    }),
+
+    "q43_snapshot_lineage" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
+      graft.snap.SnapshotCatalog.resumableRun(s, tbl(s, d, "documents"), "doc_id", 4, root, "docs") {
+        df => df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      }
+      graft.snap.SnapshotCatalog.lineage(s, root, "docs")
+    }),
+
+    "q44_spatial_join_salted" -> ((s, d) =>
+      // the shuffle/salt code path as a query (row set equals q23)
+      SpatialJoin(customerPoints(s, d), nationPolygons(s, d),
+        col("lat"), col("lon"), col("ring"), res = 6, saltBuckets = 4)
+        .select("c_custkey", "n_nationkey"))
   )
 
   // =========================================================================
@@ -589,6 +616,13 @@ object SparkEntry {
         "CAST(rank() OVER w AS BIGINT) AS rnk, " +
         "first_value(event_id) OVER w AS top_event " +
         "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)" +
-        ") WHERE rnk <= 5")
+        ") WHERE rnk <= 5"),
+
+    // q41-q43 intentionally have no oracle (LSH hyperplanes / splitmix /
+    // lineage are not SQL-expressible) → driver rows-only check.
+    "q44_spatial_join_salted" ->
+      (s"""WITH $PointsSqlCte, $CentroidSqlCte
+         |SELECT c_custkey, n_nationkey FROM pts, ctr
+         |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin)
   )
 }

@@ -51,6 +51,50 @@ object Similarity {
       .select(col("__qk").as(qKey), col("__ck").as(cKey), col("cos"), col("rank"))
   }
 
+  /**
+   * Sign-LSH bucketed ANN — the scale path when no coarse partition
+   * exists: `bits` deterministic pseudo-random hyperplanes (splitmix-
+   * seeded, data-independent), bucket = the sign bitmask of the vector's
+   * dots with them. Same-bucket candidates get exact cosine + top-k.
+   * Equi-join on an 8-byte bucket key → hash join; expected candidates
+   * per query ≈ corpus × (bits+1) / 2^bits. Multi-probe: each query also
+   * probes every bucket at hamming distance 1 (flipping one sign is the
+   * most likely LSH miss), trading (bits+1)× more query-side rows — tiny —
+   * for a large recall gain. Recall < 1 by construction (tested against
+   * brute force); tune with bits.
+   */
+  def lshTopK(queries: DataFrame, qKey: String, qVec: String,
+      corpus: DataFrame, cKey: String, cVec: String, k: Int,
+      bits: Int = 8, seed: Long = 42L): DataFrame = {
+    def hyperplane(j: Int, dim: Int): Array[Double] =
+      Array.tabulate(dim) { i =>
+        (graft.sources.Fixtures.mix(seed ^ (j.toLong * 100003L + i)) >>> 11).toDouble /
+          (1L << 53).toDouble * 2.0 - 1.0
+      }
+    def bucket(vec: Column, dim: Int): Column =
+      (0 until bits).map { j =>
+        when(dot(vec, typedLit(hyperplane(j, dim))) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // dimension from the first corpus row (driver-side metadata probe)
+    val dim = corpus.select(size(col(cVec))).first().getInt(0)
+    val q = queries.select(col(qKey).as("__qk"), col(qVec).as("__qv"))
+      .withColumn("__b0", bucket(col("__qv"), dim))
+      // multi-probe: own bucket + every 1-bit flip
+      .withColumn("__b", explode(array(
+        (col("__b0") +: (0 until bits).map(j => col("__b0").bitwiseXOR(lit(1L << j)))): _*)))
+    val c = corpus.select(col(cKey).as("__ck"), col(cVec).as("__cv"))
+      .withColumn("__b", bucket(col("__cv"), dim))
+    val scored = q.join(c, "__b")
+      .where(col("__qk") =!= col("__ck"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
+    scored.dropDuplicates("__qk", "__ck")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qk").as(qKey), col("__ck").as(cKey), col("cos"), col("rank"))
+  }
+
   /** IVF-bucketed ANN: candidates share the query's coarse partition. */
   def ivfTopK(queries: DataFrame, qKey: String, qVec: String, qPart: String,
       corpus: DataFrame, cKey: String, cVec: String, cPart: String, k: Int): DataFrame = {

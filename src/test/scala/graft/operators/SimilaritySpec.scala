@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.where(col("vec_id") < 30)
+    .select(col("vec_id").as("q"), col("embedding"))
+
+  test("bruteTopK: k rows per query, rank ordered, no self-pairs") {
+    val top = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 4)
+    assert(top.count() == 30 * 4)
+    assert(top.where(col("q") === col("vec_id")).count() == 0)
+    val perQ = top.groupBy("q").agg(max("rank").as("m"), countDistinct("vec_id").as("d")).collect()
+    perQ.foreach(r => assert(r.getInt(1) == 4 && r.getLong(2) == 4))
+  }
+
+  test("ivfTopK restricts candidates to the query's partition") {
+    val q = emb.where(col("vec_id") < 30)
+      .select(col("vec_id").as("q"), col("embedding"), col("label"))
+    val top = Similarity.ivfTopK(q, "q", "embedding", "label",
+      emb, "vec_id", "embedding", "label", 3)
+    val labels = emb.select(col("vec_id"), col("label").as("clabel"))
+    val ql = emb.select(col("vec_id").as("q"), col("label").as("qlabel"))
+    val joined = top.join(labels, "vec_id").join(ql, "q")
+    assert(joined.where(col("clabel") =!= col("qlabel")).count() == 0)
+  }
+
+  test("lshTopK: deterministic, bucketed, and meaningfully better than random") {
+    val lsh = Similarity.lshTopK(queries, "q", "embedding", emb, "vec_id", "embedding",
+      k = 5, bits = 4)
+    val lsh2 = Similarity.lshTopK(queries, "q", "embedding", emb, "vec_id", "embedding",
+      k = 5, bits = 4)
+    assert(lsh.collect().toSet == lsh2.collect().toSet) // deterministic
+    // recall@5 vs brute force
+    val brute = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 5)
+      .select("q", "vec_id").as[(Long, Long)].collect().toSet
+    val got = lsh.select("q", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // 4 bits → ~1/16 of the corpus as candidates; sign-LSH concentrates
+    // high-cosine pairs in shared buckets, so recall must beat the ~6%
+    // random-candidate baseline by a wide margin
+    assert(recall > 0.25, s"recall=$recall")
+    // every returned candidate must share the query's bucket — implied by
+    // construction; sanity: no query returns more than k rows
+    assert(lsh.groupBy("q").count().where(col("count") > 5).count() == 0)
+  }
+}
