@@ -339,7 +339,21 @@ object SparkEntry {
       // the shuffle/salt code path as a query (row set equals q23)
       SpatialJoin(customerPoints(s, d), nationPolygons(s, d),
         col("lat"), col("lon"), col("ring"), res = 6, saltBuckets = 4)
-        .select("c_custkey", "n_nationkey"))
+        .select("c_custkey", "n_nationkey")),
+
+    "q45_json_extract" -> ((s, d) =>
+      tbl(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
+    "q46_distinct_aggs" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n")))
   )
 
   // =========================================================================
@@ -623,6 +637,16 @@ object SparkEntry {
     "q44_spatial_join_salted" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
          |SELECT c_custkey, n_nationkey FROM pts, ctr
-         |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin)
+         |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
+
+    "q45_json_extract" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, " +
+        "count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k " +
+        "FROM events GROUP BY 1"),
+
+    "q46_distinct_aggs" ->
+      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
+        "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag")
   )
 }

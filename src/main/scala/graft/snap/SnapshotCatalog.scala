@@ -124,7 +124,20 @@ object SnapshotCatalog {
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
     val m = currentManifest(root, table)
       .getOrElse(throw new IllegalStateException(s"no CURRENT snapshot for $table"))
-    val dirs = m.dataDirs.map(d => tableDir(root, table).resolve(d).toString)
+    readManifest(spark, root, m)
+  }
+
+  /** Time travel: read the table AS OF `snapshotId` (manifests are
+   * immutable, so any historical snapshot stays readable — the
+   * Iceberg-style property that makes resume + audit cheap). */
+  def readAt(spark: SparkSession, root: String, table: String, snapshotId: Long): DataFrame = {
+    val p = tableDir(root, table).resolve(s"manifest-$snapshotId.json")
+    require(Files.exists(p), s"no snapshot $snapshotId for $table")
+    readManifest(spark, root, parse(new String(Files.readAllBytes(p))))
+  }
+
+  private def readManifest(spark: SparkSession, root: String, m: Manifest): DataFrame = {
+    val dirs = m.dataDirs.map(d => tableDir(root, m.table).resolve(d).toString)
     if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
   }
 

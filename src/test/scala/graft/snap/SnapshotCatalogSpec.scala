@@ -24,6 +24,10 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(back.count() == 1000)
     assert(back.where(col("out") =!= col("v") * 2).count() == 0)
     assert(SnapshotCatalog.currentSnapshotId(root, "t1").contains(3L))
+    // time travel: snapshot 0 holds exactly wave 0's rows
+    val asOf0 = SnapshotCatalog.readAt(spark, root, "t1", 0L)
+    val wave0Rows = SnapshotCatalog.currentManifest(root, "t1").get.rowsPerWave(0)
+    assert(asOf0.count() == wave0Rows && wave0Rows > 0)
   }
 
   test("resume: a rerun skips completed waves; partial run completes to the same result") {
