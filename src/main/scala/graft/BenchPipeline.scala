@@ -48,13 +48,14 @@ object BenchPipeline {
       n
     }
     run() // warm-up: JIT + page cache
-    // min of 3 timed runs: steady-state throughput on a noisy shared host
-    val best = (1 to 3).map { _ =>
+    // median of 3 timed runs: robust both ways on a noisy shared host
+    // (min would bias the N-core side fast and understate efficiency)
+    val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       run()
       (System.nanoTime() - t0) / 1e9
-    }.min
-    println(f"SECONDS=$best%.4f")
+    }.sorted
+    println(f"SECONDS=${times(1)}%.4f")
     spark.stop()
   }
 }
