@@ -39,7 +39,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000000").toLong
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "6000000").toLong
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val pagesPath = s"$tmp/pages"; val polysPath = s"$tmp/polys"
 
@@ -100,8 +100,12 @@ object Bench {
     // saturate every vCPU of this 32-core host — even a trivial codegen'd
     // job then caps at ~0.75 scaling because Spark's daemon/GC/OS threads
     // compete — so 4→16 measures the ENGINE's scaling, not host saturation.
-    val t4 = measure(4)
-    val t16 = measure(16)
+    // two interleaved children per level; min across draws (see
+    // BenchPipeline note on the host's bimodal noise)
+    val m1a = measure(4); val m2a = measure(16)
+    val m1b = measure(4); val m2b = measure(16)
+    val t4 = math.min(m1a, m1b)
+    val t16 = math.min(m2a, m2b)
     val tp4 = benchN / t4
     val tp16 = benchN / t16
     val eff = (tp16 / tp4) / 4.0

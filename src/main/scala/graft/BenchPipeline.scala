@@ -48,14 +48,15 @@ object BenchPipeline {
       n
     }
     run() // warm-up: JIT + page cache
-    // median of 3 timed runs: robust both ways on a noisy shared host
-    // (min would bias the N-core side fast and understate efficiency)
-    val times = (1 to 3).map { _ =>
+    // min of 2 timed runs; the parent also runs two children per level and
+    // takes the min — 4 samples each side pick the steady-state mode of the
+    // bimodal host noise (observed 32s vs 52s draws at 4 cores)
+    val times = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       run()
       (System.nanoTime() - t0) / 1e9
-    }.sorted
-    println(f"SECONDS=${times(1)}%.4f")
+    }
+    println(f"SECONDS=${times.min}%.4f")
     spark.stop()
   }
 }
