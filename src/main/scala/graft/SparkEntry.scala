@@ -353,7 +353,25 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_partkey")).as("n_part"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    "q47_sessionize" -> ((s, d) => {
+      // classic event sessionization: a new session starts when the gap to
+      // the previous event of the same user exceeds 30 minutes (lag window
+      // + running conditional sum)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, d, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    })
   )
 
   // =========================================================================
@@ -647,6 +665,19 @@ object SparkEntry {
     "q46_distinct_aggs" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
         "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
-        "FROM lineitem GROUP BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "q47_sessionize" ->
+      ("""WITH g AS (SELECT user_id, event_id, value, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sess AS (SELECT user_id, event_id, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin)
   )
 }

@@ -141,6 +141,23 @@ object SnapshotCatalog {
     if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
   }
 
+  /**
+   * Snapshot diff (SURVEY §4: the reference's mtime-keyed parse cache →
+   * content-hash diff): rows of `incoming` whose (key, content) pair is
+   * NOT already in the CURRENT snapshot — an anti-join on
+   * (key, xxhash64(content)), so unchanged rows are never re-processed
+   * across runs. Returns all of `incoming` when the table doesn't exist.
+   */
+  def diffNew(spark: SparkSession, incoming: DataFrame, keyCol: String,
+      contentCol: String, root: String, table: String): DataFrame = {
+    if (currentManifest(root, table).isEmpty) return incoming
+    val existing = read(spark, root, table)
+      .select(col(keyCol).as("__k"), xxhash64(col(contentCol)).as("__h")).distinct()
+    incoming.join(existing,
+      incoming(keyCol) === col("__k") && xxhash64(incoming(contentCol)) === col("__h"),
+      "left_anti")
+  }
+
   /** Lineage rows of the CURRENT snapshot as a DataFrame. */
   def lineage(spark: SparkSession, root: String, table: String): DataFrame = {
     import spark.implicits._

@@ -58,6 +58,19 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       df => df.withColumn("out", col("v") + 1)) == 0)
   }
 
+  test("diffNew: only changed/new rows survive the content-hash anti-join") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 2, root, "t4")(identity[org.apache.spark.sql.DataFrame])
+    // same content → empty diff
+    assert(SnapshotCatalog.diffNew(spark, input, "url", "v", root, "t4").count() == 0)
+    // 10 changed rows + 5 new rows → 15
+    val changed = input.withColumn("v", when(col("id") < 10, col("v") + 100).otherwise(col("v")))
+    val newRows = (1000L until 1005L).map(i => (i, s"u$i", i % 7)).toDF("id", "url", "v")
+    assert(SnapshotCatalog.diffNew(spark, changed.union(newRows), "url", "v", root, "t4").count() == 15)
+    // nonexistent table → everything is new
+    assert(SnapshotCatalog.diffNew(spark, input, "url", "v", root, "nope").count() == 1000)
+  }
+
   test("lineage rows carry per-partition counters") {
     val root = freshRoot()
     SnapshotCatalog.resumableRun(spark, input, "url", waves = 2, root, "t3")(identity[org.apache.spark.sql.DataFrame])
