@@ -164,6 +164,9 @@ object SparkEntry {
     "q14_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    "q48_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccard(tbl(s, d, "documents"), "doc_id", "text", 0.05, maxDocFreq = 40)),
+
     // ---- similarity search ------------------------------------------------
     "q15_ann_brute" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
@@ -408,7 +411,7 @@ object SparkEntry {
 
     "q08_join_revenue" ->
       ("SELECT c_mktsegment, count(*) AS n, " +
-        "sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents " +
+        "CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
 
@@ -440,6 +443,19 @@ object SparkEntry {
          |  FROM inter JOIN sizes a ON a.doc_id = key_a JOIN sizes b ON b.doc_id = key_b)
          |WHERE jaccard >= 0.05""".stripMargin),
 
+    "q48_ngram_jaccard_capped" ->
+      (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |exall AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |rare AS (SELECT s FROM exall GROUP BY s HAVING count(*) <= 40),
+         |ex AS (SELECT doc_id, s FROM exall WHERE s IN (SELECT s FROM rare)),
+         |inter AS (SELECT x.doc_id AS key_a, y.doc_id AS key_b, count(*) AS i
+         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT key_a, key_b, jaccard FROM (
+         |  SELECT key_a, key_b, round(i::DOUBLE / (a.n + b.n - i), 4) AS jaccard
+         |  FROM inter JOIN sizes a ON a.doc_id = key_a JOIN sizes b ON b.doc_id = key_b)
+         |WHERE jaccard >= 0.05""".stripMargin),
+
     "q13_minhash_lsh" ->
       (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
          |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
@@ -457,6 +473,8 @@ object SparkEntry {
          |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
          |WHERE jaccard >= 0.05""".stripMargin),
 
+    // the engine's maxHamming+1 banding is recall-complete (pigeonhole), so
+    // the oracle is the TRUE contract: every pair at hamming <= 3, brute force
     "q14_simhash_pairs" ->
       ("""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
         |bits AS (SELECT doc_id, j.j,
@@ -464,11 +482,10 @@ object SparkEntry {
         |  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j) j),
         |sums AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j),
         |sh AS (SELECT doc_id,
-        |  sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS simhash FROM sums GROUP BY doc_id),
-        |wide AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash // 256 AS hi FROM sh)
-        |SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS simhash FROM sums GROUP BY doc_id)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM wide a JOIN wide b ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
     "q15_ann_brute" ->
@@ -595,7 +612,7 @@ object SparkEntry {
 
     "q31_cube_orders" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
-        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
 
     "q32_union_sources" ->
@@ -611,7 +628,7 @@ object SparkEntry {
 
     "q35_rollup_lineitem" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "sum(CAST(l_quantity AS BIGINT)) AS qty " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
 
     "q36_except_sources" ->
@@ -632,15 +649,15 @@ object SparkEntry {
         |  CASE WHEN ascii(substring(h, j.j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS vote
         |  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS j) j),
         |sums AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j)
-        |SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS BIGINT) AS simhash
         |FROM sums GROUP BY doc_id""".stripMargin),
 
     "q39_node_depth_histogram" ->
       ("""SELECT CAST(0 AS BIGINT) AS depth, count(*) AS n FROM documents
-        |UNION ALL SELECT 1, 2*count(*) FROM documents
-        |UNION ALL SELECT 2, 2*count(*) FROM documents
-        |UNION ALL SELECT 3, sum(4 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) FROM documents
-        |UNION ALL SELECT 4, sum(3 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) FROM documents""".stripMargin),
+        |UNION ALL SELECT 1, CAST(2*count(*) AS BIGINT) FROM documents
+        |UNION ALL SELECT 2, CAST(2*count(*) AS BIGINT) FROM documents
+        |UNION ALL SELECT 3, CAST(sum(4 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 4, CAST(sum(3 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents""".stripMargin),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +
@@ -659,7 +676,7 @@ object SparkEntry {
 
     "q45_json_extract" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, " +
-        "count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k " +
+        "count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
         "FROM events GROUP BY 1"),
 
     "q46_distinct_aggs" ->
@@ -677,7 +694,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM sess GROUP BY user_id, session_idx""".stripMargin)
   )
 }

@@ -74,6 +74,34 @@ case class CellCenterLonExpr(cell: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(cell = c)
 }
 
+/** Codegen'd dot product of two numeric-array columns (Array[Float] or
+ * Array[Double] in any combination), double accumulation left-to-right —
+ * the ANN hot loop (bits×dim per row in sign-LSH bucketing). Replaces the
+ * interpreted `aggregate(zip_with(...))` HOF pair (no codegen, per-element
+ * lambda dispatch; CLAUDE.md gotcha). */
+case class DotProductExpr(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"dot_product needs array<float> or array<double> inputs, got $t")
+  }
+  private lazy val aF = isFloatArray(a)
+  private lazy val bF = isFloatArray(b)
+  override protected def nullSafeEval(av: Any, bv: Any): Any =
+    graft.core.VecOps.dot(
+      av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], aF,
+      bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.VecOps.dot($x, $aF, $y, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(a = l, b = r)
+}
+
 /** Exact point-in-polygon predicate (the post-equi-join refinement of the
  * two-phase spatial join, SURVEY §2.3 J5). Ring = ArrayType(DoubleType)
  * interleaved [x0,y0,x1,y1,…]. Codegen'd: one static call per row. */

@@ -22,6 +22,10 @@ package object functions {
   def cell_center_lat(cell: Column): Column = column(CellCenterLatExpr(expression(cell)))
   def cell_center_lon(cell: Column): Column = column(CellCenterLonExpr(expression(cell)))
 
+  /** Codegen'd dot product over array<float>/array<double> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
+
   /** Exact ray-casting PIP; ring = array<double> interleaved [x,y,…]. */
   def point_in_polygon(x: Column, y: Column, ring: Column): Column =
     column(PointInPolygonExpr(expression(x), expression(y), expression(ring)))
@@ -97,5 +101,7 @@ package object functions {
       es => CellRingExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cell_cover",
       es => CellCoverExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProductExpr(es(0), es(1)), "scala_udf")
   }
 }

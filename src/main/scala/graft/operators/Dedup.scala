@@ -41,13 +41,14 @@ object Dedup {
     val sh = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), explode_outer(TextAnalysis.shinglesOf(col("__ts"))).as("s"))
       .where(col("s").isNotNull)
-    sh.crossJoin(spark_range_df(sh, numHashes))
+    // hash-index fan-out is a generator, not a cross join: no join operator
+    // in the plan at all (a range crossJoin planned as a 16-row BNLJ —
+    // harmless but noise in every plan audit)
+    sh.select(col(key), col("s"),
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("h_idx"))
       .groupBy(col(key), col("h_idx"))
       .agg(min(md5(concat(col("h_idx").cast("string"), lit(":"), col("s")))).as("min_hash"))
   }
-
-  private def spark_range_df(df: DataFrame, n: Int): DataFrame =
-    df.sparkSession.range(n).select(col("id").cast("long").as("h_idx"))
 
   /**
    * MinHash-LSH candidate pairs verified by exact Jaccard.
@@ -87,7 +88,7 @@ object Dedup {
   def simhash(df: DataFrame, key: String, text: String): DataFrame = {
     val toks = df.select(col(key), explode(TextAnalysis.tokens(col(text))).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
-    val bits = toks.crossJoin(spark_range_df(toks, 16).withColumnRenamed("h_idx", "j"))
+    val bits = toks.select(col(key), col("h"), explode(sequence(lit(0L), lit(15L))).as("j"))
       .withColumn("vote",
         when(pmod(ascii(substring(col("h"), (col("j") + 1).cast("int"), lit(1))), lit(2)) === 1, lit(1L))
           .otherwise(lit(-1L)))
@@ -98,19 +99,36 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, banded on
-   * the two 8-bit halves (a pair within distance 1 shares ≥1 half). */
+  /**
+   * SimHash near-dup pairs with hamming distance ≤ maxHamming.
+   *
+   * Recall contract: the 16 signature bits are partitioned into
+   * `maxHamming + 1` bands; by pigeonhole any pair within the distance
+   * bound agrees exactly on at least one band, so the banded candidate set
+   * has NO false negatives. Candidates come from ONE hash equi-join on
+   * (band, band_value) over the exploded band rows — no OR-condition
+   * nested-loop join (the previous shape planned as a
+   * BroadcastNestedLoopJoin, O(N²) comparisons).
+   */
   def simhashPairs(df: DataFrame, key: String, text: String, maxHamming: Int): DataFrame = {
-    val sh = simhash(df, key, text)
-      .withColumn("lo", pmod(col("simhash"), lit(256L)))
-      .withColumn("hi", (col("simhash") / 256L).cast("long"))
-    val a = sh.select(col(key).as("key_a"), col("simhash").as("sim_a"), col("lo"), col("hi"))
-    val b = sh.select(col(key).as("key_b"), col("simhash").as("sim_b"),
-      col("lo").as("lo_b"), col("hi").as("hi_b"))
-    val cand = a.join(b, col("lo") === col("lo_b") || col("hi") === col("hi_b"))
+    val nb = maxHamming + 1
+    require(nb >= 1 && nb <= 16, s"maxHamming must be in [0, 15], got $maxHamming")
+    // distribute the 16 bits as evenly as possible so every band is non-empty
+    val widths = Array.tabulate(nb)(i => 16 / nb + (if (i < 16 % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nb).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
+    }
+    val banded = simhash(df, key, text)
+      .select(col(key), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col(key), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.select(col(key).as("key_a"), col("simhash").as("sim_a"), col("band"), col("bv"))
+    val b = banded.select(col(key).as("key_b"), col("simhash").as("sim_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
       .where(col("key_a") < col("key_b"))
-    cand.withColumn("hamming",
-      bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("key_a", "key_b", "hamming").distinct()
   }
@@ -120,12 +138,24 @@ object Dedup {
    * join itself (group-by-pair count of shared shingles) — no per-pair
    * array materialization, so the verify stage is one hash aggregate
    * (was array_intersect over full arrays per candidate: 5x slower). */
-  def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double): DataFrame = {
+  def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
     val sizes = sets.select(col(key), size(col("sh")).cast("long").as("n"))
-    val ex = sets.select(col(key), explode_outer(col("sh")).as("s"))
+    val exAll = sets.select(col(key), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull) // see minhashLong: avoids constraint-pushdown re-evaluation
+    // Document-frequency cap: a stop-shingle shared by M docs would emit M²
+    // join rows; dropping shingles with df > cap bounds the blowup at cap²
+    // per shingle (standard practice; intersection then counts only capped
+    // shingles while sizes stay full, so jaccard is a lower bound).
+    val ex =
+      if (maxDocFreq == Int.MaxValue) exAll
+      else {
+        val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("s")
+        exAll.join(rare, Seq("s"), "left_semi")
+      }
     val inter = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
       .where(col(s"x.$key") < col(s"y.$key"))
       .groupBy(col(s"x.$key").as("key_a"), col(s"y.$key").as("key_b"))

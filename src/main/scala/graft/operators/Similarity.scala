@@ -20,13 +20,30 @@ import org.apache.spark.sql.functions._
  * same sequence as the DuckDB oracle (list_dot_product over DOUBLE[]),
  * so scores match bit-for-bit before the 4-dp rounding applied for
  * rank stability.
+ *
+ * Ranking is a map-side partial top-k ([[TopKByScore]]), NOT a
+ * row_number window: the window shape shuffles every scored candidate
+ * (corpus × |queries| rows at 100 TB); the aggregator ships ≤ k pairs per
+ * query per map task. Row sets are identical (same (cos desc, key asc)
+ * total order over 4-dp-rounded scores).
  */
 object Similarity {
 
-  /** Left-to-right double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right double dot product (codegen'd DotProductExpr; the
+   * interpreted aggregate(zip_with(...)) HOF pair was the ANN hot-path
+   * cost — bits×dim lambda dispatches per row). */
+  def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
+
+  /** Shared ranking stage: (…, __qk, __ck, cos) → top-k per __qk by
+   * (cos desc, __ck asc), rank 1..k. */
+  private def rankTopK(scored: DataFrame, k: Int, qKey: String, cKey: String): DataFrame =
+    scored.groupBy("__qk")
+      .agg(TopKByScore.topK(k)(col("cos"), col("__ck").cast("long")).as("__tk"))
+      .select(col("__qk"), col("__tk.scores").as("__ss"),
+        posexplode(col("__tk.keys")).as(Seq("__pos", "__ck")))
+      .select(col("__qk").as(qKey), col("__ck").as(cKey),
+        element_at(col("__ss"), col("__pos") + 1).as("cos"),
+        (col("__pos") + 1).as("rank"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -44,11 +61,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("__qk") =!= col("__ck"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qk").as(qKey), col("__ck").as(cKey), col("cos"), col("rank"))
+    rankTopK(scored, k, qKey, cKey)
   }
 
   /**
@@ -87,12 +100,8 @@ object Similarity {
     val scored = q.join(c, "__b")
       .where(col("__qk") =!= col("__ck"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
-    scored.dropDuplicates("__qk", "__ck")
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qk").as(qKey), col("__ck").as(cKey), col("cos"), col("rank"))
+    // multi-probe can surface the same (query, candidate) via 2 buckets
+    rankTopK(scored.dropDuplicates("__qk", "__ck"), k, qKey, cKey)
   }
 
   /** IVF-bucketed ANN: candidates share the query's coarse partition. */
@@ -103,10 +112,6 @@ object Similarity {
     val scored = q.join(c, "__p")
       .where(col("__qk") =!= col("__ck"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qk").as(qKey), col("__ck").as(cKey), col("cos"), col("rank"))
+    rankTopK(scored, k, qKey, cKey)
   }
 }

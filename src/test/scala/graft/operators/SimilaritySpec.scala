@@ -22,6 +22,28 @@ class SimilaritySpec extends AnyFunSuite {
     perQ.foreach(r => assert(r.getInt(1) == 4 && r.getLong(2) == 4))
   }
 
+  test("partial top-k aggregation equals the row_number window it replaced") {
+    val scored = emb.select(col("vec_id").as("__ck"), col("embedding").as("__cv"))
+      .crossJoin(broadcast(queries.select(col("q").as("__qk"), col("embedding").as("__qv"))))
+      .where(col("__qk") =!= col("__ck"))
+      .withColumn("cos", round(Similarity.cosine(col("__qv"), col("__cv")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
+    val windowed = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 7)
+      .select(col("__qk"), col("__ck"), col("cos"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val agg = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 7)
+      .select(col("q"), col("vec_id"), col("cos"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == windowed)
+    // and the plan is an aggregate, not a window over the full scored set
+    val plan = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ranking should not use a window")
+    assert(plan.contains("ObjectHashAggregate"), "expected partial ObjectHashAggregate top-k")
+  }
+
   test("ivfTopK restricts candidates to the query's partition") {
     val q = emb.where(col("vec_id") < 30)
       .select(col("vec_id").as("q"), col("embedding"), col("label"))
