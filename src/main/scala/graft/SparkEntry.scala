@@ -167,6 +167,22 @@ object SparkEntry {
     "q48_ngram_jaccard_capped" -> ((s, d) =>
       Dedup.ngramJaccard(tbl(s, d, "documents"), "doc_id", "text", 0.05, maxDocFreq = 40)),
 
+    // ---- reference round-out: node paths, regex search, dependencies ----
+    "q49_node_paths" -> ((s, d) =>
+      PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
+          "node_id", "parent_id", "depth", "kind", "name", "attrs",
+          "sb", "eb", "sr", "sc", "er", "ec", "path")))
+        .groupBy(concat_ws("/", col("path")).as("path"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q50_regex_search" -> ((s, d) =>
+      TextAnalysis.textSearch(tbl(s, d, "documents"), "doc_id", "text",
+        "sp[a-z]+k", regex = true)),
+
+    "q51_dependencies" -> ((s, d) =>
+      graft.api.Engine.dependencies(PagesFromDocs(tbl(s, d, "documents")))),
+
     // ---- similarity search ------------------------------------------------
     "q15_ann_brute" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
@@ -252,7 +268,7 @@ object SparkEntry {
       PagesFromDocs(tbl(s, d, "documents"))
         .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
           "node_id", "parent_id", "depth", "kind", "name", "attrs",
-          "sb", "eb", "sr", "sc", "er", "ec")))
+          "sb", "eb", "sr", "sc", "er", "ec", "path")))
         .groupBy("doc_id")
         .agg(
           sum(when(col("kind") === "element", 1L).otherwise(0L)).as("n_elements"),
@@ -304,7 +320,7 @@ object SparkEntry {
       PagesFromDocs(tbl(s, d, "documents"))
         .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
           "node_id", "parent_id", "depth", "kind", "name", "attrs",
-          "sb", "eb", "sr", "sc", "er", "ec")))
+          "sb", "eb", "sr", "sc", "er", "ec", "path")))
         .groupBy(col("depth").cast("long").as("depth"))
         .agg(count(lit(1)).as("n"))),
 
@@ -658,6 +674,40 @@ object SparkEntry {
         |UNION ALL SELECT 2, CAST(2*count(*) AS BIGINT) FROM documents
         |UNION ALL SELECT 3, CAST(sum(4 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
         |UNION ALL SELECT 4, CAST(sum(3 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents""".stripMargin),
+
+    "q49_node_paths" ->
+      ("""WITH n AS (SELECT count(*) AS c FROM documents),
+        |a AS (SELECT CAST(sum(doc_id % 3) AS BIGINT) AS c FROM documents),
+        |e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0)
+        |SELECT 'document' AS path, c AS n FROM n
+        |UNION ALL SELECT 'document/doctype', c FROM n
+        |UNION ALL SELECT 'document/html', c FROM n
+        |UNION ALL SELECT 'document/html/head', c FROM n
+        |UNION ALL SELECT 'document/html/head/title', c FROM n
+        |UNION ALL SELECT 'document/html/head/title/text', c FROM n
+        |UNION ALL SELECT 'document/html/head/meta', c FROM n
+        |UNION ALL SELECT 'document/html/body', c FROM n
+        |UNION ALL SELECT 'document/html/body/h1', c FROM n
+        |UNION ALL SELECT 'document/html/body/h1/text', c FROM n
+        |UNION ALL SELECT 'document/html/body/a', c FROM a
+        |UNION ALL SELECT 'document/html/body/a/text', c FROM a
+        |UNION ALL SELECT 'document/html/body/h2', c FROM e
+        |UNION ALL SELECT 'document/html/body/h2/text', c FROM e
+        |UNION ALL SELECT 'document/html/body/p', c FROM n
+        |UNION ALL SELECT 'document/html/body/p/text', c FROM n""".stripMargin),
+
+    "q50_regex_search" ->
+      ("""WITH lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line,
+        |    string_split(text, chr(10))[i] AS line_text
+        |  FROM documents, unnest(generate_series(1, len(string_split(text, chr(10))))) AS t(i))
+        |SELECT doc_id, line, line_text FROM lines
+        |WHERE regexp_matches(line_text, 'sp[a-z]+k')""".stripMargin),
+
+    "q51_dependencies" ->
+      ("SELECT 'https://' || source || '.example/' || doc_id::VARCHAR || '.html' AS url, " +
+        "'external' AS category, 'ex.com' AS targets_str, " +
+        "CAST(doc_id % 3 AS BIGINT) AS n_refs " +
+        "FROM documents WHERE doc_id % 3 > 0"),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +

@@ -52,7 +52,7 @@ object Engine {
   def nodes(pages: DataFrame): DataFrame =
     pages.select(col("url"), parse_html_nodes(col("html")).as(Seq(
       "node_id", "parent_id", "depth", "kind", "name", "attrs",
-      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col")))
+      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
 
   /** Most-specific node containing a point — interval join + min-span
    * (find_node_at_position, models/ast.py:87-109). */
@@ -112,6 +112,13 @@ object Engine {
     else sized.where(allowedPrefixes.map(p => col("url").startsWith(p)).reduce(_ || _))
   }
 
+  /** Config-object form of the gate (layered config, see [[EngineConfig]]):
+   * session conf > explicit > defaults, resolved per call. */
+  def securityGate(pages: DataFrame, cfg: EngineConfig): DataFrame = {
+    val c = EngineConfig.resolve(pages.sparkSession, cfg)
+    securityGate(pages, c.maxFileSizeBytes, c.allowedPrefixes)
+  }
+
   /** Corpus structure stats (analyze_project_structure dir/ext counters,
    * tools/analysis.py:504-530): counts by site and by path extension,
    * with cube margins (the A2 grouping-sets flavour). */
@@ -154,8 +161,9 @@ object Engine {
   // ---- text search (X1, tools/search.py:12-136) --------------------------
 
   def findText(pages: DataFrame, term: String,
-      caseInsensitive: Boolean = false, wholeWord: Boolean = false): DataFrame =
-    TextAnalysis.textSearch(pages, "url", "text", term, caseInsensitive, wholeWord)
+      caseInsensitive: Boolean = false, wholeWord: Boolean = false,
+      regex: Boolean = false): DataFrame =
+    TextAnalysis.textSearch(pages, "url", "text", term, caseInsensitive, wholeWord, regex)
 
   /** Search hits with ±n context lines (W1, tools/search.py:87-100):
    * a per-url line window collecting (line, text, is_match) structs. */
@@ -193,6 +201,38 @@ object Engine {
   /** Symbol-usage join (find_usage, tools/registration.py:574-611). */
   def findUsage(pages: DataFrame, spec: String, symbolText: String): DataFrame =
     query(pages, spec).where(col("text") === symbolText)
+
+  /** Dependency extraction (get_dependencies, tools/analysis.py:644-797:
+   * category-keyed deduped target sets). HTML analogue: link/image/script
+   * targets categorized — geo: URIs, external hosts (target = host, the
+   * "module" munging analogue), relative paths — deduped + sorted per
+   * (url, category). `targets_str` is the '|'-joined sorted set (portable
+   * to a SQL oracle; arrays of strings hash non-portably). */
+  def dependencies(pages: DataFrame): DataFrame = {
+    val caps = Seq("links", "images").map(sp => query(pages, sp)).reduce(_ union _)
+      .where(col("capture").isin("link.href", "image.src"))
+    caps
+      .withColumn("category",
+        when(col("capture") === "image.src", lit("image"))
+          .when(col("text").startsWith("geo:"), lit("geo"))
+          .when(col("text").rlike("^https?://"), lit("external"))
+          .otherwise(lit("relative")))
+      .withColumn("target",
+        when(col("category") === "external",
+          regexp_extract(col("text"), "^https?://([^/]+)", 1))
+          .otherwise(col("text")))
+      .groupBy("url", "category")
+      .agg(concat_ws("|", sort_array(collect_set(col("target")))).as("targets_str"),
+        count(lit(1)).cast("long").as("n_refs"))
+  }
+
+  /** Root→node paths (extract_node_path, models/ast.py:112-155):
+   * precomputed at parse time as the `path` column; this is the thin
+   * lookup API over it. */
+  def nodePath(pages: DataFrame, url: String, nodeId: Long): DataFrame =
+    nodes(pages.where(col("url") === url))
+      .where(col("node_id") === nodeId)
+      .select(col("url"), col("node_id"), col("path"))
 
   // ---- geo / spatial (the north rule) ------------------------------------
 

@@ -170,10 +170,11 @@ case class ParseHtmlNodesExpr(html: Expression) extends UnaryExpression with Gen
     res.nodes.map { n =>
       val keys = new GenericArrayData(n.attrs.map(a => UTF8String.fromString(a._1)).toArray[Any])
       val vals = new GenericArrayData(n.attrs.map(a => UTF8String.fromString(a._2)).toArray[Any])
+      val path = new GenericArrayData(n.path.map(UTF8String.fromString).toArray[Any])
       InternalRow(n.id, n.parentId, n.depth,
         UTF8String.fromString(n.kind), UTF8String.fromString(n.name),
         new ArrayBasedMapData(keys, vals),
-        n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol)
+        n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol, path)
     }
   }
   override protected def withNewChildInternal(c: Expression) = copy(html = c)
@@ -191,7 +192,8 @@ object ParseHtmlNodesExpr {
     StructField("start_row", IntegerType, nullable = false),
     StructField("start_col", IntegerType, nullable = false),
     StructField("end_row", IntegerType, nullable = false),
-    StructField("end_col", IntegerType, nullable = false)))
+    StructField("end_col", IntegerType, nullable = false),
+    StructField("path", ArrayType(StringType, containsNull = false), nullable = false)))
 }
 
 /** Capture rows for a named extraction spec (reference row shape:

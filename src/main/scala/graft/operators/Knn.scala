@@ -36,6 +36,13 @@ object Knn {
    * @param targets (tKey, tLat, tLon)
    * @param k       neighbours per query
    * @param res     index resolution (see scale notes)
+   * @param reliableCheckpoint when true, per-round state goes through
+   *        `checkpoint()` (HDFS-durable; requires
+   *        `sparkContext.setCheckpointDir`) instead of
+   *        `localCheckpoint()`. Local checkpoints live in executor
+   *        memory/disk — on a real cluster a lost executor kills the job
+   *        mid-iteration, so at 100× scale run with this on; local-mode
+   *        tests and benches keep the cheap default.
    * @return (qKey, tKey, dist_sq, rank) — exactly k rows per query (fewer
    *         iff the whole target table has < k rows)
    */
@@ -44,9 +51,12 @@ object Knn {
       qKey: String, qLat: String, qLon: String,
       targets: DataFrame,
       tKey: String, tLat: String, tLon: String,
-      k: Int, res: Int): DataFrame = {
+      k: Int, res: Int, reliableCheckpoint: Boolean = false): DataFrame = {
     require(k >= 1)
     val spark = queries.sparkSession
+    // both forms materialize eagerly AND truncate lineage (see loop note)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val maxRings = (1L << res).toInt // ring > grid size is impossible
 
     val tgt = targets.select(
@@ -55,10 +65,9 @@ object Knn {
       .persist()
     tgt.count()
 
-    var unresolved = queries.select(
+    var unresolved = ckpt(queries.select(
       col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon"))
-      .withColumn("__qcell", cell_id(col("__qlat"), col("__qlon"), res))
-      .localCheckpoint(true)
+      .withColumn("__qcell", cell_id(col("__qlat"), col("__qlon"), res)))
 
     val d2 = {
       val dx = col("__tlon") - col("__qlon")
@@ -86,10 +95,9 @@ object Knn {
       // localCheckpoint: materialize AND truncate lineage — the plan would
       // otherwise grow by one union+window per round and blow up the
       // optimizer (observed: explainString OOM)
-      val topk = all
+      val topk = ckpt(all
         .withColumn("rank", row_number().over(wTopK))
-        .where(col("rank") <= k)
-        .localCheckpoint(true)
+        .where(col("rank") <= k))
       if (accPersisted != null) accPersisted.unpersist()
       accPersisted = topk
 
@@ -103,9 +111,9 @@ object Knn {
         .select("__qkey")
       val finished = topk.join(doneKeys, "__qkey")
         .select(col("__qkey"), col("__tkey"), col("dist_sq"), col("rank"))
-      out = if (out == null) finished.localCheckpoint(true)
-        else out.union(finished).localCheckpoint(true)
-      val stillOpen = unresolved.join(doneKeys, Seq("__qkey"), "left_anti").localCheckpoint(true)
+      out = if (out == null) ckpt(finished)
+        else ckpt(out.union(finished))
+      val stillOpen = ckpt(unresolved.join(doneKeys, Seq("__qkey"), "left_anti"))
       unresolved.unpersist()
       unresolved = stillOpen
       acc = topk.join(doneKeys, Seq("__qkey"), "left_anti")

@@ -39,14 +39,25 @@ object TextAnalysis {
 
   /** Per-line search hits: (key, line, line_text) for lines containing
    * `term`. Modes mirror the reference: plain contains / case-insensitive /
-   * whole-word (reference: search.py:51-84). */
+   * whole-word / raw regex (reference: search.py:19,43-84 — find_text's
+   * use_regex flag compiles with re.IGNORECASE when case-insensitive).
+   *
+   * Regex dialect contract (SURVEY §2.10): patterns must stay inside the
+   * portable subset — literal chars, char classes, `. * + ? | ( ) { }`
+   * quantifiers and anchors — which behaves identically in Java regex,
+   * RE2 (DuckDB) and Python re. No inline flags, backreferences or
+   * lookaround (Java-only features would silently diverge from the
+   * reference's `re`). */
   def textSearch(df: DataFrame, key: String, text: String, term: String,
-      caseInsensitive: Boolean = false, wholeWord: Boolean = false): DataFrame = {
+      caseInsensitive: Boolean = false, wholeWord: Boolean = false,
+      regex: Boolean = false): DataFrame = {
     val lines = df.select(col(key),
       posexplode(split(col(text), "\n")).as(Seq("line0", "line_text")))
       .withColumn("line", (col("line0") + 1).cast("long")).drop("line0")
     val hit =
-      if (wholeWord) col("line_text").rlike("\\b" + java.util.regex.Pattern.quote(term) + "\\b")
+      if (regex)
+        col("line_text").rlike(if (caseInsensitive) "(?i)" + term else term)
+      else if (wholeWord) col("line_text").rlike("\\b" + java.util.regex.Pattern.quote(term) + "\\b")
       else if (caseInsensitive) lower(col("line_text")).contains(term.toLowerCase)
       else col("line_text").contains(term)
     lines.where(hit)

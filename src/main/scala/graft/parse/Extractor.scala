@@ -149,12 +149,16 @@ object Extractor {
     extractTextBytes(res)
   }
 
-  def extractTextBytes(res: HtmlParser.ParseResult): Array[Byte] = {
-    val out = new ByteArrayOutputStream(res.source.length / 2 + 16)
-    // identify raw-text parents (script/style) by node id
-    val rawIds = res.nodes.iterator
+  /** Node ids of raw-text containers (script/style) — their text children
+   * are code, not content, and are excluded from every text projection. */
+  private def rawTextIds(res: HtmlParser.ParseResult): Set[Long] =
+    res.nodes.iterator
       .filter(n => n.kind == "element" && HtmlParser.RawTextElements.contains(n.name))
       .map(_.id).toSet
+
+  def extractTextBytes(res: HtmlParser.ParseResult): Array[Byte] = {
+    val out = new ByteArrayOutputStream(res.source.length / 2 + 16)
+    val rawIds = rawTextIds(res)
     res.nodes.foreach { nd =>
       if (nd.kind == "text" && !rawIds.contains(nd.parentId))
         decodeEntitiesInto(res.source, nd.startByte, nd.endByte, out)
@@ -177,11 +181,15 @@ object Extractor {
     Capture(name, text, n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol)
 
   /** Concatenated, entity-decoded text of a container element's direct and
-   * nested text nodes (bounded by its byte range). */
-  private def innerText(res: HtmlParser.ParseResult, el: HtmlNode): String = {
+   * nested text nodes (bounded by its byte range), excluding script/style
+   * raw text — the same exclusion extractTextBytes applies (a nested
+   * <script> inside a captured element is code, not its text). */
+  private def innerText(res: HtmlParser.ParseResult, el: HtmlNode,
+      rawIds: Set[Long]): String = {
     val out = new ByteArrayOutputStream(32)
     res.nodes.foreach { nd =>
-      if (nd.kind == "text" && nd.startByte >= el.startByte && nd.endByte <= el.endByte)
+      if (nd.kind == "text" && nd.startByte >= el.startByte && nd.endByte <= el.endByte &&
+          !rawIds.contains(nd.parentId))
         decodeEntitiesInto(res.source, nd.startByte, nd.endByte, out)
     }
     Utf8.decodeReplace(out.toByteArray)
@@ -189,6 +197,9 @@ object Extractor {
 
   def captures(res: HtmlParser.ParseResult, spec: String): Seq[Capture] = {
     val out = new ArrayBuffer[Capture]
+    lazy val rawIds = rawTextIds(res)
+    def innerText(res2: HtmlParser.ParseResult, el: HtmlNode): String =
+      Extractor.innerText(res2, el, rawIds)
     val els = res.nodes.filter(_.kind == "element")
     spec match {
       case "links" =>
@@ -297,8 +308,9 @@ object Extractor {
     }
     metas.foreach { case (a, b) => add("meta", a, b) }
     uris.foreach { case (a, b) => add("uri", a, b) }
+    lazy val rawIds = rawTextIds(res)
     latSpans.zip(lonSpans).foreach { case (la, lo) =>
-      add("microdata", innerText(res, la).trim, innerText(res, lo).trim)
+      add("microdata", innerText(res, la, rawIds).trim, innerText(res, lo, rawIds).trim)
     }
     out.toSeq
   }

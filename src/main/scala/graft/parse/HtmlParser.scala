@@ -15,6 +15,9 @@ import graft.core.Utf8
  * - positions are tree-sitter points: row = newline count, col = BYTE offset
  *   within the line.
  * - byte ranges are half-open [startByte, endByte).
+ * - `path` is the root→node chain of element names (kind for non-elements),
+ *   self inclusive — the reference's extract_node_path (models/ast.py:112-155)
+ *   precomputed at parse time (the stack is already in hand; SURVEY §2.9 T3).
  */
 final case class HtmlNode(
     id: Long,
@@ -28,7 +31,8 @@ final case class HtmlNode(
     startRow: Int,
     startCol: Int,
     endRow: Int,
-    endCol: Int) {
+    endCol: Int,
+    path: Seq[String]) {
   def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
 }
 
@@ -288,12 +292,16 @@ object HtmlParser {
     val ls = lineStarts.toArray
 
     // parentId currently holds the parent's INDEX; resolve to hashes.
+    // Paths build in the same pass: parents always precede children in
+    // emit order, so paths(parentIdx) is complete when a child needs it.
     val ids = new Array[Long](out.length)
+    val paths = new Array[Vector[String]](out.length)
     var q = 0
     while (q < out.length) {
       val nd = out(q)
       val key = if (nd.kind == "element") nd.name else nd.kind
       ids(q) = nodeId(nd.startByte, nd.endByte, key)
+      paths(q) = if (nd.parentId < 0) Vector(key) else paths(nd.parentId.toInt) :+ key
       q += 1
     }
     val nodes = new Array[HtmlNode](out.length)
@@ -316,7 +324,8 @@ object HtmlParser {
         startRow = rowOfOffset(ls, nd.startByte),
         startCol = nd.startByte - ls(rowOfOffset(ls, nd.startByte)),
         endRow = endRow,
-        endCol = endRowOff - ls(rowOfOffset(ls, endRowOff)))
+        endCol = endRowOff - ls(rowOfOffset(ls, endRowOff)),
+        path = paths(q))
       q += 1
     }
     ParseResult(scala.collection.immutable.ArraySeq.unsafeWrapArray(nodes), src)

@@ -188,7 +188,12 @@ object SnapshotCatalog {
     (0 until waves).foreach { w =>
       if (!done.contains(w)) {
         val t0 = System.nanoTime()
+        // observe(): the wave's input count rides the SAME job as the
+        // write below — no separate count() pass over the input. (At 64
+        // waves × 100 TB the old shape cost one extra full scan per wave.)
+        val obs = org.apache.spark.sql.Observation(s"${table}_wave_$w")
         val waveIn = input.where(pmod(xxhash64(col(keyCol)), lit(waves)) === w)
+          .observe(obs, count(lit(1)).as("in_rows"))
         val out = transform(waveIn)
         val prev = currentManifest(root, table)
         val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
@@ -197,7 +202,7 @@ object SnapshotCatalog {
         out.write.mode("overwrite").parquet(target.toString)
         val wallMs = (System.nanoTime() - t0) / 1000000
         // per-partition lineage: group output by its physical partition
-        val inRows = waveIn.count()
+        val inRows = obs.get("in_rows").asInstanceOf[Long]
         val written = spark.read.parquet(target.toString)
         val perPart = written.groupBy(spark_partition_id().as("pid"))
           .agg(count(lit(1)).as("n")).collect()

@@ -58,6 +58,58 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.findText(pages, "ntity", wholeWord = true).count() == 0)
   }
 
+  test("findText regex mode (use_regex analogue, incl. case-insensitive)") {
+    // every page's h1 text is "Entity <i>"
+    assert(Engine.findText(pages, "Entity [0-9]+", regex = true).count() == 200)
+    assert(Engine.findText(pages, "entity [0-9]+", regex = true).count() == 0)
+    assert(Engine.findText(pages, "entity [0-9]+", regex = true,
+      caseInsensitive = true).count() == 200)
+    // regex metachars are live in regex mode, quoted in whole-word mode
+    assert(Engine.findText(pages, "core-\\d+", regex = true).count() == 200)
+  }
+
+  test("dependencies: categorized deduped target sets") {
+    val deps = Engine.dependencies(pages)
+    assert(deps.columns.toSet == Set("url", "category", "targets_str", "n_refs"))
+    // fixture anchors are geo: URIs; pages with >=2 entities have them
+    val geo = deps.where(col("category") === "geo")
+    val expect = (0L until 200L).count(i => Fixtures.pageEntities(i).size >= 2)
+    assert(geo.count() == expect)
+    assert(deps.where(!col("category").isin("geo", "external", "relative", "image")).count() == 0)
+    // targets are deduped and sorted
+    val one = geo.orderBy("url").first()
+    val ts = one.getAs[String]("targets_str").split('|').toSeq
+    assert(ts == ts.distinct.sorted)
+  }
+
+  test("nodePath API and EngineConfig layering") {
+    val url = pages.select("url").orderBy("url").first().getString(0)
+    val anyNode = Engine.nodes(pages.where(col("url") === url))
+      .where(col("name") === "h1").select("node_id").first().getLong(0)
+    val p = Engine.nodePath(pages, url, anyNode).first()
+      .getAs[scala.collection.Seq[String]]("path").toSeq
+    assert(p == Seq("document", "html", "body", "h1"))
+
+    // config precedence: session conf > explicit > defaults
+    val explicit = EngineConfig(maxResults = 7)
+    assert(EngineConfig.resolve(spark, explicit).maxResults == 7)
+    assert(EngineConfig.resolve(spark).maxFileSizeBytes == 5L * 1024 * 1024)
+    spark.conf.set("spark.graft.maxResults", "3")
+    spark.conf.set("spark.graft.allowedPrefixes", "https://site1.example/,https://site2.example/")
+    try {
+      val r = EngineConfig.resolve(spark, explicit)
+      assert(r.maxResults == 3 && r.maxDepth == 5)
+      assert(r.allowedPrefixes == Seq("https://site1.example/", "https://site2.example/"))
+      val gated = Engine.securityGate(pages, EngineConfig())
+      assert(gated.count() ==
+        pages.where(col("url").startsWith("https://site1.example/") ||
+          col("url").startsWith("https://site2.example/")).count())
+    } finally {
+      spark.conf.unset("spark.graft.maxResults")
+      spark.conf.unset("spark.graft.allowedPrefixes")
+    }
+  }
+
   test("findSimilar containment top-k") {
     val txt = pages.where(col("url").contains("/0.html")).select("text").first().getString(0)
     val top = Engine.findSimilar(pages, txt, 0.5, 5).collect()

@@ -83,7 +83,7 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = Seq(Tuple1(page1)).toDF("html")
       .select(parse_html_nodes($"html").as(Seq(
         "node_id", "parent_id", "depth", "kind", "name", "attrs",
-        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col")))
+        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
     val names = df.where($"kind" === "element").select("name").as[String].collect()
     assert(names.count(_ == "a") == 2)
     assert(names.contains("h1") && names.contains("meta"))
@@ -91,6 +91,25 @@ class ExpressionsSpec extends AnyFunSuite {
     val ids = df.select("node_id").as[Long].collect().toSet
     val parents = df.where($"depth" > 0).select("parent_id").as[Long].collect().toSet
     assert(parents.subsetOf(ids))
+  }
+
+  test("node path column is consistent with parent_id and depth") {
+    val df = Seq(Tuple1(page1)).toDF("html")
+      .select(parse_html_nodes($"html").as(Seq(
+        "node_id", "parent_id", "depth", "kind", "name", "attrs",
+        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
+    val rows = df.select("node_id", "parent_id", "depth", "kind", "name", "path")
+      .as[(Long, Long, Int, String, String, Seq[String])].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (_, parentId, depth, kind, name, path) =>
+      assert(path.size == depth + 1, s"path len vs depth: $path / $depth")
+      val self = if (kind == "element") name else kind
+      assert(path.last == self)
+      if (parentId != -1L) {
+        val p = byId(parentId)
+        assert(path.init == p._6, s"parent path mismatch: $path vs ${p._6}")
+      } else assert(path == Seq("document"))
+    }
   }
 
   test("extract_captures generator with plan-time spec validation") {

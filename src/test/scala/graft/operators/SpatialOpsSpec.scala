@@ -102,6 +102,23 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("kNN identical in reliable-checkpoint mode") {
+    val queries = pts.take(40).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
+      .toDF("qid", "lat", "lon")
+    val centroids = polys.map { p =>
+      val (cx, cy) = Geometry.vertexCentroid(p.ring)
+      (p.polygon_id, cy, cx)
+    }.toDF("tid", "tlat", "tlon")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val local = Knn(queries, "qid", "lat", "lon", centroids, "tid", "tlat", "tlon", 3, res = 4)
+      .select("qid", "tid", "rank").as[(Long, Long, Int)].collect().toSet
+    val reliable = Knn(queries, "qid", "lat", "lon", centroids, "tid", "tlat", "tlon", 3, res = 4,
+      reliableCheckpoint = true)
+      .select("qid", "tid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(local == reliable)
+  }
+
   test("kNN with k larger than target count returns all targets") {
     val queries = Seq((1L, 0.0, 0.0)).toDF("qid", "lat", "lon")
     val targets = Seq((10L, 1.0, 1.0), (11L, 2.0, 2.0)).toDF("tid", "tlat", "tlon")
