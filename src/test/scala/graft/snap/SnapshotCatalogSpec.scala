@@ -58,6 +58,31 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       df => df.withColumn("out", col("v") + 1)) == 0)
   }
 
+  test("single-pass run commits the same snapshot chain as the per-wave path") {
+    val rootA = freshRoot(); val rootB = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, rootA, "t")(
+      df => df.withColumn("out", col("v") * 2))
+    val ran = SnapshotCatalog.resumableRunSinglePass(spark, input, "url", waves = 4, rootB, "t")(
+      df => df.withColumn("out", col("v") * 2))
+    assert(ran == 4)
+    val a = SnapshotCatalog.read(spark, rootA, "t")
+    val b = SnapshotCatalog.read(spark, rootB, "t")
+    assert(b.count() == 1000)
+    assert(a.select("id", "out").exceptAll(b.select("id", "out")).count() == 0)
+    assert(b.select("id", "out").exceptAll(a.select("id", "out")).count() == 0)
+    // same wave bucketing and per-wave rows + input counts
+    val mA = SnapshotCatalog.currentManifest(rootA, "t").get
+    val mB = SnapshotCatalog.currentManifest(rootB, "t").get
+    assert(mA.rowsPerWave == mB.rowsPerWave)
+    assert(mB.completedWaves == Seq(0, 1, 2, 3))
+    def inByWave(m: SnapshotCatalog.Manifest) =
+      m.lineage.map(l => l.wave -> l.inputRows).distinct.toMap
+    assert(inByWave(mA) == inByWave(mB))
+    // rerun is a no-op; partially-done tables fall back to per-wave
+    assert(SnapshotCatalog.resumableRunSinglePass(spark, input, "url", 4, rootB, "t")(
+      df => df.withColumn("out", col("v") * 2)) == 0)
+  }
+
   test("diffNew: only changed/new rows survive the content-hash anti-join") {
     val root = freshRoot()
     SnapshotCatalog.resumableRun(spark, input, "url", waves = 2, root, "t4")(identity[org.apache.spark.sql.DataFrame])
