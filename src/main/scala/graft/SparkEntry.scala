@@ -60,6 +60,22 @@ object SparkEntry {
       |  ((c_custkey*7919) % 17000 - 8500) / 100.0 AS lat,
       |  ((c_custkey*104729) % 36000 - 18000) / 100.0 AS lon FROM customer)""".stripMargin
 
+  /** DuckDB mirror of Dedup.simhash64 (shared by q52/q53). */
+  private val Sim64SqlCte =
+    """WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+      |bits AS (SELECT doc_id, j.j,
+      |  CASE WHEN ((CASE WHEN ascii(substring(h, (j.j % 32) + 1, 1)) <= 57
+      |              THEN ascii(substring(h, (j.j % 32) + 1, 1)) - 48
+      |              ELSE ascii(substring(h, (j.j % 32) + 1, 1)) - 87 END
+      |             >> (j.j // 32)) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      |  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+      |sums AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j),
+      |sh AS (SELECT doc_id, CAST(sum(CASE
+      |    WHEN v > 0 AND j = 63 THEN (-9223372036854775807 - 1)
+      |    WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM sums GROUP BY doc_id)
+      |""".stripMargin
+
   /** DuckDB mirror of TextAnalysis.shingles. */
   private def shinglesSql(text: String): String =
     s"list_sort(list_distinct(list_transform(" +
@@ -182,6 +198,13 @@ object SparkEntry {
 
     "q51_dependencies" -> ((s, d) =>
       graft.api.Engine.dependencies(PagesFromDocs(tbl(s, d, "documents")))),
+
+    // the corpus-scale 64-bit simhash (Manku et al. WWW'07 configuration)
+    "q52_simhash64_values" -> ((s, d) =>
+      Dedup.simhash64(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q53_simhash64_pairs" -> ((s, d) =>
+      Dedup.simhashPairs64(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
     // ---- similarity search ------------------------------------------------
     "q15_ann_brute" -> ((s, d) => {
@@ -708,6 +731,17 @@ object SparkEntry {
         "'external' AS category, 'ex.com' AS targets_str, " +
         "CAST(doc_id % 3 AS BIGINT) AS n_refs " +
         "FROM documents WHERE doc_id % 3 > 0"),
+
+    // 64-bit simhash: bit j = nibble bit j//32 of md5 hex char j%32.
+    // 1<<63 overflows DuckDB's left shift, so bit 63 uses the min-long
+    // literal; the CAST collapses the HUGEINT sum back to int64.
+    "q52_simhash64_values" -> (Sim64SqlCte + "SELECT doc_id, simhash FROM sh"),
+
+    "q53_simhash64_pairs" -> (Sim64SqlCte +
+      """SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +

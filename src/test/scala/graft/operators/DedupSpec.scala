@@ -36,6 +36,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs64 recall-complete and banding join is hash-only") {
+    val small = docs.where(col("doc_id") < 80)
+    val banded = Dedup.simhashPairs64(small, "doc_id", "text", maxHamming = 3)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val got = banded.select("key_a", "key_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sh = Dedup.simhash64(small, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("ka"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("kb"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("h"))
+      .where(col("h") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    // 64-bit signatures use all four nibbles' worth of bit sources: the
+    // high 32 bits must not be degenerate
+    val nonZeroHigh = sh.where(shiftright(col("simhash"), 32) =!= 0).count()
+    assert(nonZeroHigh > 0)
+  }
+
   test("ngramJaccard df-cap drops hot shingles (no quadratic hot-key blowup)") {
     // 40 docs sharing one stop-shingle; pairs (i, i+1) additionally share a
     // rare shingle. Uncapped: the stop-shingle alone pairs all 40*39/2 docs.
