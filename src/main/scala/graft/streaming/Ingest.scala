@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types._
 import graft.functions.{cell_id, cell_parent, extract_geo}
 
@@ -13,8 +14,13 @@ import graft.functions.{cell_id, cell_parent, extract_geo}
  * The same extraction expressions run unchanged under `readStream`:
  * pages land in a directory, geo entities are extracted, cell-encoded,
  * and aggregated into per-tile counts under an event-time watermark.
+ * Stateful pieces: exact dedup within a watermark (state-store-backed,
+ * bounded by the watermark horizon) and per-user running totals via
+ * `mapGroupsWithState` (the custom-state slot).
  */
 object Ingest {
+
+  final case class UserTotal(user_id: Long, n_events: Long, cents: Long)
 
   val PagesSchema: StructType = StructType(Seq(
     StructField("url", StringType),
@@ -35,4 +41,44 @@ object Ingest {
       .groupBy(window(col("warc_ts"), "10 minutes"), col("tile"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("tile"), col("n"))
+
+  /** Streaming exact dedup: first page per content digest within the
+   * watermark horizon passes, later duplicates are dropped. State is the
+   * digest set, evicted as the watermark advances — the streaming face of
+   * `Dedup.exact`, bounded-state by construction. */
+  def dedupedPages(spark: SparkSession, pagesDir: String,
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream
+      .schema(PagesSchema)
+      .parquet(pagesDir)
+      .withColumn("digest", md5(col("html")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .select("url", "warc_ts", "digest")
+
+  /** Per-user running totals via `mapGroupsWithState` (custom keyed state;
+   * Update output mode). Cents are exact integers, mirroring the batch
+   * discipline, so the final state equals the batch groupBy exactly. */
+  def runningUserTotals(spark: SparkSession, eventsDir: String): Dataset[UserTotal] = {
+    import spark.implicits._
+    val EventsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(EventsSchema)
+      .parquet(eventsDir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var n = 0L; var c = 0L
+          state.getOption.foreach { s => n = s.n_events; c = s.cents }
+          rows.foreach { r => n += 1; c += r._2 }
+          val s = UserTotal(user, n, c)
+          state.update(s)
+          s
+      }
+  }
 }

@@ -35,6 +35,42 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     if (!got.isNullAt(0)) assert(got.getLong(0) <= total)
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    val base = Fixtures.pages(spark, 50, partitions = 2).toDF()
+    // duplicate every page once (same html → same digest, same warc_ts)
+    base.union(base).write.mode("overwrite").parquet(dir)
+    val q = Ingest.dedupedPages(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT count(*) AS n, count(DISTINCT digest) AS d FROM dedup_stream")
+      .collect().head
+    assert(got.getLong(0) == 50 && got.getLong(1) == 50)
+  }
+
+  test("mapGroupsWithState running totals converge to the batch aggregate") {
+    val dir = Files.createTempDirectory("graft_sstate").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(dir)
+    val q = Ingest.runningUserTotals(spark, dir)
+      .writeStream.outputMode("update").format("memory").queryName("totals_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = the final state
+    val got = spark.sql(
+      """SELECT user_id, max(n_events) AS n, max(cents) AS c
+        |FROM totals_stream GROUP BY user_id""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("multimodal: image meta, frame sampling, embeddings (stub kernels, real plumbing)") {
     val media = Multimodal.syntheticMedia(spark, 90)
     val metas = Multimodal.imageMeta(media)
