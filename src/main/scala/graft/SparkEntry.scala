@@ -206,6 +206,25 @@ object SparkEntry {
     "q53_simhash64_pairs" -> ((s, d) =>
       Dedup.simhashPairs64(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    "q54_vector_tiles" -> ((s, d) =>
+      Tiler.vector(
+        customerPoints(s, d).withColumn("entity_idx", (col("c_custkey") % 4).cast("int")),
+        "c_custkey", "entity_idx", "lat", "lon", zoom = 3)
+        .select(col("tile_id"), col("zoom").cast("long").as("zoom"),
+          explode(col("features")).as("f"))
+        .select(col("tile_id"), col("zoom"), col("f.c_custkey").as("c_custkey"),
+          col("f.entity_idx").cast("long").as("entity_idx"),
+          col("f.cell_id").as("cell_id"))),
+
+    // rows-only: k-means centroids are float-mean iterates (not portably
+    // SQL-expressible); recall vs brute force is pinned in SimilaritySpec
+    "q55_kmeans_ivf" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 20).select(col("vec_id").as("q_vec"), col("embedding"))
+      Similarity.kmeansIvfTopK(q, "q_vec", "embedding", e, "vec_id", "embedding",
+        k = 5, kClusters = 8, iters = 2, nprobe = 2)
+    }),
+
     // ---- similarity search ------------------------------------------------
     "q15_ann_brute" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
@@ -742,6 +761,18 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    // zoom 3 → tile res 3, payload res 7 (parent identity: the tile of a
+    // point's res-7 cell equals its res-3 cell — property-tested)
+    "q54_vector_tiles" ->
+      (s"""WITH $PointsSqlCte,
+         |enc AS (SELECT c_custkey, CAST(c_custkey % 4 AS BIGINT) AS entity_idx,
+         |  CAST(floor(((lon + 180.0)/360.0)*128.0) AS BIGINT) AS ix,
+         |  CAST(floor(((lat + 90.0)/180.0)*128.0) AS BIGINT) AS iy FROM pts)
+         |SELECT (3::BIGINT << 58) | ((ix // 16) << 29) | (iy // 16) AS tile_id,
+         |  CAST(3 AS BIGINT) AS zoom, c_custkey, entity_idx,
+         |  (7::BIGINT << 58) | (ix << 29) | iy AS cell_id
+         |FROM enc""".stripMargin),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +

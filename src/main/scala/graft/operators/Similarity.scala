@@ -104,6 +104,83 @@ object Similarity {
     rankTopK(scored.dropDuplicates("__qk", "__ck"), k, qKey, cKey)
   }
 
+  /**
+   * Deterministic Lloyd k-means over an embedding column — the coarse
+   * quantizer that makes [[ivfTopK]] self-contained (no pre-assigned
+   * partition needed). Init = the kClusters lowest-key vectors; `iters`
+   * fixed Lloyd rounds. Each round is ONE distributed assign pass (argmin
+   * over kClusters distance expressions, codegen'd dot products against
+   * literal centroids) + one (centroid, dim)-grouped mean — the k×dim
+   * centroid matrix is driver-side metadata (tiny), exactly like a real
+   * IVF training loop.
+   *
+   * @return centroids as Array[Array[Double]] indexed by centroid id
+   */
+  def kmeansCentroids(corpus: DataFrame, cKey: String, cVec: String,
+      kClusters: Int, iters: Int): Array[Array[Double]] = {
+    val init = corpus.orderBy(col(cKey)).limit(kClusters)
+      .select(col(cVec)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(corpus, cVec, centroids)
+      val dim = centroids(0).length
+      // element-wise mean per centroid: posexplode + (centroid, pos) agg;
+      // result is kClusters×dim rows — driver-side metadata by design
+      val means = assigned
+        .select(col("__cid"), posexplode(col(cVec)).as(Seq("__pos", "__x")))
+        .groupBy("__cid", "__pos")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: adds `__cid` (int). Distance argmin via
+   * an array of (dist, id) structs — array_min orders by first field. */
+  private def assignToCentroids(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, j) =>
+      val cNorm = c.map(x => x * x).sum
+      // ||v-c||² = ||v||² - 2·v·c + ||c||²; ||v||² is row-constant → drop
+      struct((lit(cNorm) - lit(2.0) * dot(col(vecCol), typedLit(c))).as("d"),
+        lit(j).as("c"))
+    }
+    df.withColumn("__cid", array_min(array(dists.toIndexedSeq: _*)).getField("c"))
+  }
+
+  /**
+   * Self-contained IVF ANN: train the coarse quantizer with
+   * [[kmeansCentroids]], assign the corpus once, probe each query's
+   * `nprobe` nearest centroids (multi-probe recovers boundary
+   * candidates), exact cosine + partial top-k inside the probed cells.
+   * Equi-join on the centroid id — the same blocking shape as ivfTopK,
+   * with candidates per query ≈ corpus × nprobe / kClusters.
+   */
+  def kmeansIvfTopK(queries: DataFrame, qKey: String, qVec: String,
+      corpus: DataFrame, cKey: String, cVec: String, k: Int,
+      kClusters: Int = 16, iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(corpus, cKey, cVec, kClusters, iters)
+    val c = assignToCentroids(
+      corpus.select(col(cKey).as("__ck"), col(cVec).as("__cv")), "__cv", centroids)
+      .withColumnRenamed("__cid", "__p")
+    // query side: nprobe nearest centroids via sorted (dist, id) array
+    val dists = centroids.zipWithIndex.map { case (cv, j) =>
+      val cNorm = cv.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2.0) * dot(col("__qv"), typedLit(cv))).as("d"), lit(j).as("c"))
+    }
+    val q = queries.select(col(qKey).as("__qk"), col(qVec).as("__qv"))
+      .withColumn("__p", explode(transform(
+        slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe), s => s.getField("c"))))
+    val scored = q.join(c, "__p")
+      .where(col("__qk") =!= col("__ck"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
+    rankTopK(scored.dropDuplicates("__qk", "__ck"), k, qKey, cKey)
+  }
+
   /** IVF-bucketed ANN: candidates share the query's coarse partition. */
   def ivfTopK(queries: DataFrame, qKey: String, qVec: String, qPart: String,
       corpus: DataFrame, cKey: String, cVec: String, cPart: String, k: Int): DataFrame = {

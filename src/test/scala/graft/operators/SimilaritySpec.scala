@@ -55,6 +55,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.where(col("clabel") =!= col("qlabel")).count() == 0)
   }
 
+  test("kmeansIvfTopK: self-trained quantizer, deterministic, recall beats random") {
+    val ivf = Similarity.kmeansIvfTopK(queries, "q", "embedding", emb, "vec_id", "embedding",
+      k = 5, kClusters = 8, iters = 2, nprobe = 2)
+    val again = Similarity.kmeansIvfTopK(queries, "q", "embedding", emb, "vec_id", "embedding",
+      k = 5, kClusters = 8, iters = 2, nprobe = 2)
+    assert(ivf.collect().toSet == again.collect().toSet) // deterministic training
+    assert(ivf.groupBy("q").count().where(col("count") > 5).count() == 0)
+    val brute = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 5)
+      .select("q", "vec_id").as[(Long, Long)].collect().toSet
+    val got = ivf.select("q", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // nprobe=2 of 8 clusters ≈ 25% random-candidate baseline; a trained
+    // quantizer concentrates true neighbours in the probed cells
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
   test("lshTopK: deterministic, bucketed, and meaningfully better than random") {
     val lsh = Similarity.lshTopK(queries, "q", "embedding", emb, "vec_id", "embedding",
       k = 5, bits = 4)
