@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+/**
+ * Plan-shape audit: the properties the engine relies on for 100 TB —
+ * scan-level filter pushdown, column pruning, broadcast join selection,
+ * map-side partial aggregation — asserted against executed plans so a
+ * regression (e.g. a non-pushable expression creeping into a filter)
+ * fails loudly instead of silently scanning everything.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private lazy val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // run so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val plan = executed(docs.where(col("source").startsWith("src1")).select("doc_id", "source"))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("StringStartsWith(source,src1)"), plan)
+  }
+
+  test("column pruning reaches the scan (ReadSchema)") {
+    val plan = executed(docs.select("doc_id", "lang"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"))
+    assert(!readSchema.contains("text"), s"text must be pruned from the scan: $readSchema")
+  }
+
+  test("small dimension side broadcasts (BroadcastHashJoin, no shuffle of the big side)") {
+    val plan = executed(
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count())
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("aggregation is partial+final (map-side combine before the exchange)") {
+    val df = docs.groupBy("lang").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+    // the only exchange is the partial-agg output keyed by the group key
+    // (AQE prints the plan twice — initial and final — hence per-section)
+    val finalSection = plan.split("== Final Plan ==").last.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(finalSection).size == 1, finalSection)
+  }
+
+  test("scalar cell expressions stay inside whole-stage codegen") {
+    val df = customer.select(graft.functions.cell_id(
+      (col("c_custkey") % 180 - 90).cast("double"),
+      (col("c_custkey") % 360 - 180).cast("double"), 8).as("c"))
+    df.collect()
+    // fused operators print with a "*(<stage>)" codegen prefix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), plan)
+  }
+}
