@@ -267,9 +267,26 @@ object Engine {
     Dedup.minhashLsh(df, key, text, bands, rowsPerBand, threshold)
   def dedupSimhash(df: DataFrame, key: String, text: String, maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(df, key, text, maxHamming)
+  /** Corpus-scale 64-bit simhash near-dup pairs (WWW'07 configuration). */
+  def dedupSimhash64(df: DataFrame, key: String, text: String, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs64(df, key, text, maxHamming)
   def annTopK(queries: DataFrame, qKey: String, qVec: String,
       corpus: DataFrame, cKey: String, cVec: String, k: Int): DataFrame =
     Similarity.bruteTopK(queries, qKey, qVec, corpus, cKey, cVec, k)
+  /** IVF ANN with a self-trained (Lloyd) coarse quantizer + multi-probe. */
+  def annKmeansIvf(queries: DataFrame, qKey: String, qVec: String,
+      corpus: DataFrame, cKey: String, cVec: String, k: Int,
+      kClusters: Int = 16, iters: Int = 3, nprobe: Int = 2): DataFrame =
+    Similarity.kmeansIvfTopK(queries, qKey, qVec, corpus, cKey, cVec, k, kClusters, iters, nprobe)
+
+  // ---- metadata surface (list/describe tools) -----------------------------
+
+  /** Query-template metadata (list_query_templates / get_query_template,
+   * tools/registration.py:374-409). */
+  def queryTemplates: Map[String, Seq[String]] = graft.parse.Extractor.SpecCaptures
+
+  /** Node-kind documentation (get_node_types, query_builder.py:129-179). */
+  def nodeTypes: Map[String, String] = graft.parse.HtmlParser.NodeTypes
   def langId(df: DataFrame, key: String, text: String): DataFrame =
     TextAnalysis.langId(df, key, text)
   def quality(df: DataFrame, key: String, text: String): DataFrame =

@@ -38,4 +38,22 @@ object EngineConfig {
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(explicit.allowedPrefixes))
   }
+
+  /** Effective-config report (reference: diagnose_config,
+   * tools/registration.py:645-659): resolved values plus which layer won. */
+  def describe(spark: SparkSession, explicit: EngineConfig = EngineConfig()): Map[String, (String, String)] = {
+    val r = resolve(spark, explicit)
+    val d = EngineConfig()
+    def layer(k: String, eff: Any, exp: Any, dft: Any): (String, String) = {
+      val from =
+        if (spark.conf.getOption(ConfPrefix + k).isDefined) "session-conf"
+        else if (exp != dft) "explicit" else "default"
+      (eff.toString, from)
+    }
+    Map(
+      "maxFileSizeBytes" -> layer("maxFileSizeBytes", r.maxFileSizeBytes, explicit.maxFileSizeBytes, d.maxFileSizeBytes),
+      "maxResults" -> layer("maxResults", r.maxResults, explicit.maxResults, d.maxResults),
+      "maxDepth" -> layer("maxDepth", r.maxDepth, explicit.maxDepth, d.maxDepth),
+      "allowedPrefixes" -> layer("allowedPrefixes", r.allowedPrefixes.mkString(","), explicit.allowedPrefixes, d.allowedPrefixes))
+  }
 }

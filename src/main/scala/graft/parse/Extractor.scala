@@ -35,6 +35,21 @@ object Extractor {
   val SpecNames: Seq[String] = Seq(
     "links", "images", "headings", "title", "meta", "geo_meta", "geo_uri", "microdata")
 
+  /** Capture names each spec can emit — the query-template metadata
+   * surface (reference: get_query_template / list_query_templates,
+   * tools/registration.py:374-409). `heading.hN` / `meta.<name>` are
+   * families (suffix varies with the document). */
+  val SpecCaptures: Map[String, Seq[String]] = Map(
+    "links" -> Seq("link.href", "link.text"),
+    "images" -> Seq("image.src"),
+    "headings" -> Seq("heading.h1", "heading.h2", "heading.h3",
+      "heading.h4", "heading.h5", "heading.h6"),
+    "title" -> Seq("title"),
+    "meta" -> Seq("meta.<name>"),
+    "geo_meta" -> Seq("geo.geo.position", "geo.ICBM"),
+    "geo_uri" -> Seq("geo.uri"),
+    "microdata" -> Seq("geo.latitude", "geo.longitude"))
+
   // ---------------------------------------------------------------------
   // Entity decoding (byte level: entity -> UTF-8 bytes of the codepoint)
   // ---------------------------------------------------------------------

@@ -57,6 +57,16 @@ final case class HtmlNode(
  */
 object HtmlParser {
 
+  /** Node-kind documentation (reference: get_node_types /
+   * describe_node_types, tools/query_builder.py:129-179 — a static
+   * metadata map over the grammar's node inventory). */
+  val NodeTypes: Map[String, String] = Map(
+    "document" -> "the root node spanning the whole byte stream",
+    "element" -> "a tag with lowercased name, attributes, and children",
+    "text" -> "a raw text run (entity decoding happens at extraction)",
+    "comment" -> "a <!-- --> comment (unterminated runs to EOF)",
+    "doctype" -> "a <! declaration")
+
   val VoidElements: Set[String] = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr")

@@ -98,6 +98,26 @@ object SnapshotCatalog {
 
   private def tableDir(root: String, table: String): Path = Paths.get(root, table)
 
+  /** Registered tables under a catalog root (reference: list_projects,
+   * tools/registration.py:115-122) — any directory with a CURRENT pointer. */
+  def listTables(root: String): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Nil
+    else Files.list(r).iterator().asScala
+      .filter(p => Files.exists(p.resolve("CURRENT")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Drop a table: delete its directory tree (reference: remove_project,
+   * tools/registration.py:124-133). Idempotent. */
+  def dropTable(root: String, table: String): Unit = {
+    val dir = tableDir(root, table)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
   def currentSnapshotId(root: String, table: String): Option[Long] = {
     val cur = tableDir(root, table).resolve("CURRENT")
     if (Files.exists(cur)) Some(new String(Files.readAllBytes(cur)).trim.toLong) else None

@@ -110,6 +110,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata surface: templates, node types, table catalog, config report") {
+    assert(Engine.queryTemplates.keySet == graft.parse.Extractor.SpecNames.toSet)
+    assert(Engine.queryTemplates("links") == Seq("link.href", "link.text"))
+    assert(Engine.nodeTypes.keySet ==
+      Set("document", "element", "text", "comment", "doctype"))
+    // every spec's fixed captures actually appear on the fixture corpus
+    val caps = Engine.query(pages, "links").select("capture").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(caps == Set("link.href", "link.text"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    graft.snap.SnapshotCatalog.resumableRun(spark,
+      pages.select("url", "lang"), "url", 2, root, "tA")(identity)
+    graft.snap.SnapshotCatalog.resumableRun(spark,
+      pages.select("url", "lang"), "url", 2, root, "tB")(identity)
+    assert(graft.snap.SnapshotCatalog.listTables(root) == Seq("tA", "tB"))
+    graft.snap.SnapshotCatalog.dropTable(root, "tA")
+    assert(graft.snap.SnapshotCatalog.listTables(root) == Seq("tB"))
+
+    val rep = EngineConfig.describe(spark, EngineConfig(maxResults = 7))
+    assert(rep("maxResults") == ("7", "explicit"))
+    assert(rep("maxDepth") == ("5", "default"))
+    spark.conf.set("spark.graft.maxDepth", "9")
+    try assert(EngineConfig.describe(spark)("maxDepth") == ("9", "session-conf"))
+    finally spark.conf.unset("spark.graft.maxDepth")
+  }
+
   test("findSimilar containment top-k") {
     val txt = pages.where(col("url").contains("/0.html")).select("text").first().getString(0)
     val top = Engine.findSimilar(pages, txt, 0.5, 5).collect()
