@@ -167,15 +167,15 @@ case class ParseHtmlNodesExpr(html: Expression) extends UnaryExpression with Gen
     val h = html.eval(input)
     if (h == null) return Nil
     val res = HtmlParser.parse(h.asInstanceOf[Array[Byte]])
-    res.nodes.map { n =>
+    res.nodes.iterator.zipWithIndex.map { case (n, i) =>
       val keys = new GenericArrayData(n.attrs.map(a => UTF8String.fromString(a._1)).toArray[Any])
       val vals = new GenericArrayData(n.attrs.map(a => UTF8String.fromString(a._2)).toArray[Any])
-      val path = new GenericArrayData(n.path.map(UTF8String.fromString).toArray[Any])
+      val path = new GenericArrayData(res.paths(i).map(UTF8String.fromString).toArray[Any])
       InternalRow(n.id, n.parentId, n.depth,
         UTF8String.fromString(n.kind), UTF8String.fromString(n.name),
         new ArrayBasedMapData(keys, vals),
         n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol, path)
-    }
+    }.toSeq
   }
   override protected def withNewChildInternal(c: Expression) = copy(html = c)
 }

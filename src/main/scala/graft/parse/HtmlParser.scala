@@ -15,9 +15,10 @@ import graft.core.Utf8
  * - positions are tree-sitter points: row = newline count, col = BYTE offset
  *   within the line.
  * - byte ranges are half-open [startByte, endByte).
- * - `path` is the root→node chain of element names (kind for non-elements),
- *   self inclusive — the reference's extract_node_path (models/ast.py:112-155)
- *   precomputed at parse time (the stack is already in hand; SURVEY §2.9 T3).
+ * Root→node name paths (the reference's extract_node_path,
+ * models/ast.py:112-155) live on [[HtmlParser.ParseResult.paths]] — LAZY,
+ * so the flagship extract-geo hot path (which never asks for paths) pays
+ * nothing for them (SURVEY §2.9 T3).
  */
 final case class HtmlNode(
     id: Long,
@@ -31,8 +32,7 @@ final case class HtmlNode(
     startRow: Int,
     startCol: Int,
     endRow: Int,
-    endCol: Int,
-    path: Seq[String]) {
+    endCol: Int) {
   def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
 }
 
@@ -87,10 +87,65 @@ object HtmlParser {
     h
   }
 
-  final case class ParseResult(nodes: IndexedSeq[HtmlNode], source: Array[Byte]) {
+  /** Interned lookup for frequent names, keyed by (length, first byte).
+   * Returns null when the span is not a known name (caller allocates). */
+  private val InternTable: Array[Array[String]] = {
+    val names = Seq(
+      "a", "p", "b", "i", "u", "s", "q",
+      "h1", "h2", "h3", "h4", "h5", "h6", "br", "hr", "td", "tr", "th",
+      "ul", "ol", "li", "em", "id",
+      "div", "img", "pre", "nav", "src", "rel", "alt",
+      "html", "head", "body", "meta", "link", "span", "form", "main", "href",
+      "name", "type", "lang",
+      "title", "table", "style", "class", "input", "aside",
+      "script", "footer", "header", "strong", "button", "content",
+      "section", "article", "itemprop")
+    val table = Array.fill(16, 256)(null: String).map(_.clone())
+    names.foreach { n =>
+      if (n.length < 16) table(n.length)(n.charAt(0).toInt) match {
+        case null => table(n.length)(n.charAt(0).toInt) = n
+        case _ => // first-come keeps the slot; later names fall back to alloc
+      }
+    }
+    table
+  }
+
+  private def internedName(src: Array[Byte], s: Int, e: Int): String = {
+    val len = e - s
+    if (len <= 0 || len >= 16) return null
+    val c0 = { val c = src(s) & 0xff; if (c >= 'A' && c <= 'Z') c + 32 else c }
+    val cand = InternTable(len)(c0)
+    if (cand == null) return null
+    var i = 1
+    while (i < len) {
+      val c = { val x = src(s + i) & 0xff; if (x >= 'A' && x <= 'Z') x + 32 else x }
+      if (c != cand.charAt(i).toInt) return null
+      i += 1
+    }
+    cand
+  }
+
+  final case class ParseResult(nodes: IndexedSeq[HtmlNode], source: Array[Byte],
+      parentIdx: Array[Int]) {
     def textBytes(n: HtmlNode): Array[Byte] =
       java.util.Arrays.copyOfRange(source, n.startByte, n.endByte)
     def text(n: HtmlNode): String = Utf8.decodeReplace(source, n.startByte, n.endByte)
+
+    /** Root→node paths (self inclusive; element name, kind otherwise),
+     * aligned with `nodes` by index. Lazy: only callers that ask for
+     * paths (ParseHtmlNodesExpr) pay for them — parents precede children
+     * in emit order, so one forward pass suffices. */
+    lazy val paths: Array[Vector[String]] = {
+      val out = new Array[Vector[String]](nodes.length)
+      var i = 0
+      while (i < nodes.length) {
+        val n = nodes(i)
+        val key = if (n.kind == "element") n.name else n.kind
+        out(i) = if (parentIdx(i) < 0) Vector(key) else out(parentIdx(i)) :+ key
+        i += 1
+      }
+      out
+    }
   }
 
   // ---- internal open-element bookkeeping --------------------------------
@@ -134,8 +189,12 @@ object HtmlParser {
     @inline def isSpace(c: Int): Boolean = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
     @inline def lower(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
 
-    /** ASCII-lowercased string of src[s,e) (names only — never payload). */
+    /** ASCII-lowercased string of src[s,e) (names only — never payload).
+     * Common tag/attr names return interned constants — no allocation on
+     * the hot path (one string per element otherwise). */
     def asciiLower(s: Int, e: Int): String = {
+      val interned = HtmlParser.internedName(src, s, e)
+      if (interned != null) return interned
       val sb = new java.lang.StringBuilder(e - s)
       var i = s
       while (i < e) { sb.append(lower(at(i)).toChar); i += 1 }
@@ -301,17 +360,16 @@ object HtmlParser {
     while (p < n) { if (src(p) == '\n') lineStarts += (p + 1); p += 1 }
     val ls = lineStarts.toArray
 
-    // parentId currently holds the parent's INDEX; resolve to hashes.
-    // Paths build in the same pass: parents always precede children in
-    // emit order, so paths(parentIdx) is complete when a child needs it.
+    // parentId currently holds the parent's INDEX; resolve to hashes
+    // (the index chain is kept on ParseResult for lazy path building).
     val ids = new Array[Long](out.length)
-    val paths = new Array[Vector[String]](out.length)
+    val parentIdx = new Array[Int](out.length)
     var q = 0
     while (q < out.length) {
       val nd = out(q)
       val key = if (nd.kind == "element") nd.name else nd.kind
       ids(q) = nodeId(nd.startByte, nd.endByte, key)
-      paths(q) = if (nd.parentId < 0) Vector(key) else paths(nd.parentId.toInt) :+ key
+      parentIdx(q) = nd.parentId.toInt
       q += 1
     }
     val nodes = new Array[HtmlNode](out.length)
@@ -334,11 +392,10 @@ object HtmlParser {
         startRow = rowOfOffset(ls, nd.startByte),
         startCol = nd.startByte - ls(rowOfOffset(ls, nd.startByte)),
         endRow = endRow,
-        endCol = endRowOff - ls(rowOfOffset(ls, endRowOff)),
-        path = paths(q))
+        endCol = endRowOff - ls(rowOfOffset(ls, endRowOff)))
       q += 1
     }
-    ParseResult(scala.collection.immutable.ArraySeq.unsafeWrapArray(nodes), src)
+    ParseResult(scala.collection.immutable.ArraySeq.unsafeWrapArray(nodes), src, parentIdx)
   }
 
   private def rowOfOffset(ls: Array[Int], off: Int): Int = {
