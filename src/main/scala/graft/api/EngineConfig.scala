@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /**
  * Layered engine configuration (reference: config.py:28-61 pydantic
  * ServerConfig with env > explicit > YAML > defaults, config.py:1-12).
- * The Spark-native layering is: `spark.graft.*` session conf (the
- * spark-submit --conf channel, standing in for env vars) > an explicit
- * config object passed by the caller > code defaults. Defaults mirror
- * the reference's documented values.
+ * The Spark-native layering mirrors that order exactly:
+ * `spark.graft.*` session conf (the spark-submit --conf channel,
+ * standing in for env vars) > an explicit config object > a YAML file
+ * (`fromYaml`) > code defaults. Defaults mirror the reference's
+ * documented values.
  */
 final case class EngineConfig(
     /** reference security.max_file_size_mb = 5 (config.py:39) */
@@ -37,6 +38,44 @@ object EngineConfig {
       allowedPrefixes = get("allowedPrefixes")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(explicit.allowedPrefixes))
+  }
+
+  /**
+   * Load the YAML layer (reference: load_config YAML files,
+   * config.py:64-96 — flat `section.key: value` semantics). Supported
+   * subset (hand-rolled; the offline sandbox has no YAML dependency,
+   * and the reference's config files are exactly this shape):
+   * two-level `section:` blocks with `key: value` scalars, `#` comments.
+   * Unknown keys are ignored, like pydantic's default.
+   *
+   * Recognized keys (reference names): security.max_file_size_mb,
+   * max_results, language.default_max_depth, security.allowed_prefixes
+   * (comma-separated).
+   */
+  def fromYaml(path: String, base: EngineConfig = EngineConfig()): EngineConfig = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8").linesIterator.toSeq
+    var section = ""
+    val kv = scala.collection.mutable.Map[String, String]()
+    lines.foreach { raw =>
+      val noComment = raw.takeWhile(_ != '#')
+      val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
+      val line = noComment.trim
+      if (line.nonEmpty && line.contains(':')) {
+        val (k, v0) = line.splitAt(line.indexOf(':'))
+        val v = v0.drop(1).trim.stripPrefix("\"").stripSuffix("\"")
+        if (v.isEmpty && !indented) section = k.trim
+        else kv(((if (indented && section.nonEmpty) section + "." else "") + k.trim)) = v
+      }
+    }
+    EngineConfig(
+      maxFileSizeBytes = kv.get("security.max_file_size_mb")
+        .map(_.toLong * 1024 * 1024).getOrElse(base.maxFileSizeBytes),
+      maxResults = kv.get("max_results").map(_.toInt).getOrElse(base.maxResults),
+      maxDepth = kv.get("language.default_max_depth").map(_.toInt).getOrElse(base.maxDepth),
+      allowedPrefixes = kv.get("security.allowed_prefixes")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(base.allowedPrefixes))
   }
 
   /** Effective-config report (reference: diagnose_config,

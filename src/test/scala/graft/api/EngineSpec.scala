@@ -110,6 +110,31 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("EngineConfig YAML layer: conf > explicit > yaml > defaults") {
+    val yaml = java.nio.file.Files.createTempFile("graft_cfg", ".yaml")
+    java.nio.file.Files.write(yaml,
+      """# engine config
+        |security:
+        |  max_file_size_mb: 2
+        |  allowed_prefixes: "https://a.example/, https://b.example/"
+        |max_results: 42
+        |language:
+        |  default_max_depth: 7
+        |cache:
+        |  enabled: true   # unknown section key: ignored
+        |""".stripMargin.getBytes("UTF-8"))
+    val fromY = EngineConfig.fromYaml(yaml.toString)
+    assert(fromY.maxFileSizeBytes == 2L * 1024 * 1024)
+    assert(fromY.maxResults == 42 && fromY.maxDepth == 7)
+    assert(fromY.allowedPrefixes == Seq("https://a.example/", "https://b.example/"))
+    // explicit overrides yaml; session conf overrides both
+    val explicit = fromY.copy(maxResults = 5)
+    assert(EngineConfig.resolve(spark, explicit).maxResults == 5)
+    spark.conf.set("spark.graft.maxResults", "99")
+    try assert(EngineConfig.resolve(spark, explicit).maxResults == 99)
+    finally spark.conf.unset("spark.graft.maxResults")
+  }
+
   test("metadata surface: templates, node types, table catalog, config report") {
     assert(Engine.queryTemplates.keySet == graft.parse.Extractor.SpecNames.toSet)
     assert(Engine.queryTemplates("links") == Seq("link.href", "link.text"))
