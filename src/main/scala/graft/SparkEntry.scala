@@ -517,7 +517,8 @@ object SparkEntry {
     "q13_minhash_lsh" ->
       (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
          |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-         |mh AS (SELECT doc_id, j.h_idx, min(md5(j.h_idx::VARCHAR || ':' || s)) AS min_hash
+         |mh AS (SELECT doc_id, j.h_idx,
+         |    min(substring(md5(s), CAST(j.h_idx*4 + 1 AS INTEGER), 4)) AS min_hash
          |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h_idx) j GROUP BY doc_id, j.h_idx),
          |bk AS (SELECT doc_id, h_idx // 2 AS band,
          |  array_to_string(list_sort(list(lpad(h_idx::VARCHAR, 4, '0') || '=' || min_hash)), '|') AS band_key
@@ -698,7 +699,8 @@ object SparkEntry {
         |  generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
         |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])))) AS s
         |  FROM documents WHERE doc_id < 50)
-        |SELECT doc_id, j.h_idx, min(md5(j.h_idx::VARCHAR || ':' || s)) AS min_hash
+        |SELECT doc_id, j.h_idx,
+        |  min(substring(md5(s), CAST(j.h_idx*8 + 1 AS INTEGER), 8)) AS min_hash
         |FROM sh CROSS JOIN (SELECT unnest(range(4)) AS h_idx) j GROUP BY doc_id, j.h_idx""".stripMargin),
 
     "q38_simhash_values" ->

@@ -30,9 +30,20 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(key)).as("keep_key"))
       .where(col("n") > 1)
 
-  /** MinHash signature matrix, long form: (key, h_idx, min_hash). Shuffle
-   * is (key, h_idx)-partial-aggregated map-side — the scalable shape. */
+  /** MinHash signature matrix, long form: (key, h_idx, min_hash).
+   *
+   * The `numHashes` permutation proxies are disjoint hex slices of ONE
+   * md5 per shingle — not numHashes independent md5 calls over an
+   * exploded (shingle × h_idx) table. One hash aggregate computes all
+   * mins side-by-side (single exchange, no row multiplication); the long
+   * form is a cheap post-agg unpivot. Narrower slices only ADD band-key
+   * collisions (false candidate agreements, never disagreements), and
+   * the exact-Jaccard verify stage filters those — so LSH recall is
+   * unaffected while hashing cost drops numHashes-fold. */
   def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame = {
+    val w = 32 / numHashes
+    require(numHashes >= 1 && numHashes * w == 32,
+      s"numHashes must divide the 32 md5 hex chars, got $numHashes")
     // explode_outer, NOT explode: inner explode makes Catalyst infer
     // size(arr)>0 constraints that are pushed below the projection and
     // re-evaluate the whole shingle expression 3x per row at the scan
@@ -41,13 +52,14 @@ object Dedup {
     val sh = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), explode_outer(TextAnalysis.shinglesOf(col("__ts"))).as("s"))
       .where(col("s").isNotNull)
-    // hash-index fan-out is a generator, not a cross join: no join operator
-    // in the plan at all (a range crossJoin planned as a 16-row BNLJ —
-    // harmless but noise in every plan audit)
-    sh.select(col(key), col("s"),
-        explode(sequence(lit(0L), lit(numHashes - 1L))).as("h_idx"))
-      .groupBy(col(key), col("h_idx"))
-      .agg(min(md5(concat(col("h_idx").cast("string"), lit(":"), col("s")))).as("min_hash"))
+      .withColumn("__h", md5(col("s")))
+    val mins = (0 until numHashes).map(i =>
+      min(substring(col("__h"), i * w + 1, w)).as(s"__m$i"))
+    sh.groupBy(col(key))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(key), explode(array((0 until numHashes).map(i =>
+        struct(lit(i.toLong).as("h_idx"), col(s"__m$i").as("min_hash"))): _*)).as("x"))
+      .select(col(key), col("x.h_idx").as("h_idx"), col("x.min_hash").as("min_hash"))
   }
 
   /**
