@@ -216,6 +216,12 @@ object SparkEntry {
           col("f.entity_idx").cast("long").as("entity_idx"),
           col("f.cell_id").as("cell_id"))),
 
+    "q56_vectorize" -> ((s, d) =>
+      Tiler.vectorize(Tiler.raster(customerPoints(s, d), "lat", "lon", zoom = 3),
+        zoom = 3, minCount = 2)
+        .select(col("cell_id"), col("zoom").cast("long").as("zoom"), col("n"),
+          col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))),
+
     // rows-only: k-means centroids are float-mean iterates (not portably
     // SQL-expressible); recall vs brute force is pinned in SimilaritySpec
     "q55_kmeans_ivf" -> ((s, d) => {
@@ -775,6 +781,19 @@ object SparkEntry {
          |  CAST(3 AS BIGINT) AS zoom, c_custkey, entity_idx,
          |  (7::BIGINT << 58) | (ix << 29) | iy AS cell_id
          |FROM enc""".stripMargin),
+
+    // raster→vector: pixels with n >= 2 become exact res-7 cell boxes
+    // (power-of-two divisions → bit-exact doubles in both engines)
+    "q56_vectorize" ->
+      (s"""WITH $PointsSqlCte,
+         |enc AS (SELECT CAST(floor(((lon + 180.0)/360.0)*128.0) AS BIGINT) AS ix,
+         |               CAST(floor(((lat + 90.0)/180.0)*128.0) AS BIGINT) AS iy FROM pts),
+         |cnt AS (SELECT ix, iy, count(*) AS n FROM enc GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT (7::BIGINT << 58) | (ix << 29) | iy AS cell_id,
+         |  CAST(3 AS BIGINT) AS zoom, n,
+         |  ix * (360.0/128) - 180.0 AS lon_min, iy * (180.0/128) - 90.0 AS lat_min,
+         |  (ix + 1) * (360.0/128) - 180.0 AS lon_max, (iy + 1) * (180.0/128) - 90.0 AS lat_max
+         |FROM cnt""".stripMargin),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +

@@ -49,6 +49,36 @@ object Tiler {
   }
 
   /**
+   * Raster→vector conversion: pixels with count ≥ minCount become cell
+   * polygons — (cell_id, zoom, n, corner scalars, ring). The payload cell
+   * index is reconstructed from (tile_id, pix_x, pix_y); bounds are exact
+   * (power-of-two divisions of 360/180 are exact IEEE-754 at the pinned
+   * resolutions), so the output is oracle-checkable to the bit. The ring
+   * column is SpatialJoin-ready (interleaved [x,y,…] CCW box).
+   */
+  def vectorize(raster: DataFrame, zoom: Int, minCount: Long): DataFrame = {
+    val rP = payloadRes(zoom)
+    val scale = (1L << rP).toDouble
+    val mask = (1L << 29) - 1
+    val dLon = 360.0 / scale
+    val dLat = 180.0 / scale
+    raster.where(col("n") >= minCount)
+      .withColumn("__ix",
+        shiftright(col("tile_id"), 29).bitwiseAND(lit(mask)) * SubGridSize + col("pix_x"))
+      .withColumn("__iy", col("tile_id").bitwiseAND(lit(mask)) * SubGridSize + col("pix_y"))
+      .withColumn("cell_id",
+        lit(rP.toLong << 58).bitwiseOR(shiftleft(col("__ix"), 29)).bitwiseOR(col("__iy")))
+      .withColumn("lon_min", col("__ix") * dLon - 180.0)
+      .withColumn("lat_min", col("__iy") * dLat - 90.0)
+      .withColumn("lon_max", (col("__ix") + 1) * dLon - 180.0)
+      .withColumn("lat_max", (col("__iy") + 1) * dLat - 90.0)
+      .withColumn("ring", array(
+        col("lon_min"), col("lat_min"), col("lon_max"), col("lat_min"),
+        col("lon_max"), col("lat_max"), col("lon_min"), col("lat_max")))
+      .select("cell_id", "zoom", "n", "lon_min", "lat_min", "lon_max", "lat_max", "ring")
+  }
+
+  /**
    * Vector tiles: (tile_id, zoom, features) where features = array of
    * (key, entity_idx, cell_id) structs sorted by (key, entity_idx) —
    * deterministic bytes for snapshot sinks (SURVEY §7.4-5).

@@ -127,6 +127,32 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == Set(10L, 11L))
   }
 
+  test("vectorize round-trip: cell boxes contain exactly their raster counts") {
+    val zoom = 3
+    val raster = Tiler.raster(ptsDf, "lat", "lon", zoom)
+    val boxes = Tiler.vectorize(raster, zoom, minCount = 2)
+      .select("cell_id", "n", "lon_min", "lat_min", "lon_max", "lat_max")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(boxes.nonEmpty)
+    boxes.foreach { case (cellId, n, x0, y0, x1, y1) =>
+      // every point inside the half-open box is exactly the cell's count
+      val inside = pts.count { case (_, _, lat, lon) =>
+        lon >= x0 && lon < x1 && lat >= y0 && lat < y1
+      }
+      assert(inside == n, s"cell $cellId: box count $inside vs raster n $n")
+      // and the box IS the cell: encoding any interior point at payload
+      // res returns the same cell id
+      val rP = Tiler.payloadRes(zoom)
+      assert(CellIndex.latLonToCell((y0 + y1) / 2, (x0 + x1) / 2, rP) == cellId)
+    }
+    // the ring column joins back through the exact PIP predicate
+    val viaJoin = SpatialJoin(
+      ptsDf, Tiler.vectorize(raster, zoom, minCount = 2)
+        .select(col("cell_id").as("polygon_id"), col("ring")),
+      $"lat", $"lon", $"ring", res = 7)
+    assert(viaJoin.count() > 0)
+  }
+
   test("raster tiles: sparse counts match recompute") {
     val zoom = 4
     val got = Tiler.raster(ptsDf, "lat", "lon", zoom)
