@@ -60,6 +60,26 @@ object SparkEntry {
       |  ((c_custkey*7919) % 17000 - 8500) / 100.0 AS lat,
       |  ((c_custkey*104729) % 36000 - 18000) / 100.0 AS lon FROM customer)""".stripMargin
 
+  /** DuckDB mirror of Dedup.minhashLsh at q13's parameters (shared by
+   * q13 and q57's recursive-closure oracle). */
+  private lazy val Q13Sql: String =
+    s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+       |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |mh AS (SELECT doc_id, j.h_idx,
+       |    min(substring(md5(s), CAST(j.h_idx*4 + 1 AS INTEGER), 4)) AS min_hash
+       |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h_idx) j GROUP BY doc_id, j.h_idx),
+       |bk AS (SELECT doc_id, h_idx // 2 AS band,
+       |  array_to_string(list_sort(list(lpad(h_idx::VARCHAR, 4, '0') || '=' || min_hash)), '|') AS band_key
+       |  FROM mh GROUP BY doc_id, h_idx // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT key_a, key_b, jaccard FROM (
+       |  SELECT key_a, key_b,
+       |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
+       |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
+       |WHERE jaccard >= 0.05""".stripMargin
+
   /** DuckDB mirror of Dedup.simhash64 (shared by q52/q53). */
   private val Sim64SqlCte =
     """WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
@@ -215,6 +235,12 @@ object SparkEntry {
         .select(col("tile_id"), col("zoom"), col("f.c_custkey").as("c_custkey"),
           col("f.entity_idx").cast("long").as("entity_idx"),
           col("f.cell_id").as("cell_id"))),
+
+    "q57_dedup_components" -> ((s, d) =>
+      Dedup.dropKeys(
+        Dedup.minhashLsh(tbl(s, d, "documents"), "doc_id", "text",
+          bands = 4, rowsPerBand = 2, threshold = 0.05),
+        "key_a", "key_b")),
 
     "q56_vectorize" -> ((s, d) =>
       Tiler.vectorize(Tiler.raster(customerPoints(s, d), "lat", "lon", zoom = 3),
@@ -520,23 +546,21 @@ object SparkEntry {
          |  FROM inter JOIN sizes a ON a.doc_id = key_a JOIN sizes b ON b.doc_id = key_b)
          |WHERE jaccard >= 0.05""".stripMargin),
 
-    "q13_minhash_lsh" ->
-      (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
-         |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-         |mh AS (SELECT doc_id, j.h_idx,
-         |    min(substring(md5(s), CAST(j.h_idx*4 + 1 AS INTEGER), 4)) AS min_hash
-         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h_idx) j GROUP BY doc_id, j.h_idx),
-         |bk AS (SELECT doc_id, h_idx // 2 AS band,
-         |  array_to_string(list_sort(list(lpad(h_idx::VARCHAR, 4, '0') || '=' || min_hash)), '|') AS band_key
-         |  FROM mh GROUP BY doc_id, h_idx // 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT key_a, key_b, jaccard FROM (
-         |  SELECT key_a, key_b,
-         |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
-         |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
-         |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
-         |WHERE jaccard >= 0.05""".stripMargin),
+    "q13_minhash_lsh" -> Q13Sql,
+
+    // transitive closure of the q13 near-dup pairs via recursive CTE —
+    // the exact fixed point the engine's label propagation converges to
+    "q57_dedup_components" ->
+      (s"""WITH RECURSIVE pairs AS ($Q13Sql),
+         |edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+         |          UNION SELECT key_b, key_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT key AS drop_key, component AS keep_key FROM (
+         |  SELECT src AS key, least(src, min(dst)) AS component FROM reach GROUP BY src)
+         |WHERE key <> component""".stripMargin),
 
     // the engine's maxHamming+1 banding is recall-complete (pigeonhole), so
     // the oracle is the TRUE contract: every pair at hamming <= 3, brute force

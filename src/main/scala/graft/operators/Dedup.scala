@@ -30,6 +30,57 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(key)).as("keep_key"))
       .where(col("n") > 1)
 
+  /**
+   * Connected components over a near-dup pair list — the transitive
+   * clustering that turns (key_a, key_b) similarity pairs into a keep/drop
+   * decision (pairs are NOT transitive-closed by construction: a~b and
+   * b~c does not emit a~c, so per-pair min-keep would under-drop).
+   *
+   * Iterative min-label propagation (the standard large-graph CC shape on
+   * Spark): every key starts labeled with itself; each round joins labels
+   * across edges and keeps the per-key min; stops when a round changes
+   * nothing. Rounds needed = graph diameter ≤ O(log n) for near-dup
+   * blobs (they are dense clusters, diameter 1-2 in practice). Per round:
+   * one hash join + one aggregate, state checkpointed like Knn's loop.
+   *
+   * @param pairs (keyA, keyB) undirected edges
+   * @return (key, component) for every key appearing in a pair;
+   *         component = min key of the connected component
+   */
+  def components(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
+    val edges = pairs.select(col(keyA).as("src"), col(keyB).as("dst"))
+      .union(pairs.select(col(keyB).as("src"), col(keyA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("key")).distinct()
+      .withColumn("component", col("key"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // neighbour labels: for each key, the min label among its neighbours
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("key", "dst"), "dst")
+        .groupBy(col("src").as("key"))
+        .agg(min(col("component")).as("__nbr"))
+      val next = labels.join(viaEdges, Seq("key"), "left_outer")
+        .select(col("key"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "key")
+        .where(col("component") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep/drop decision from a pair list: one row per key that should be
+   * DROPPED (its component has a smaller key — the canonical survivor). */
+  def dropKeys(pairs: DataFrame, keyA: String, keyB: String): DataFrame =
+    components(pairs, keyA, keyB).where(col("key") =!= col("component"))
+      .select(col("key").as("drop_key"), col("component").as("keep_key"))
+
   /** MinHash signature matrix, long form: (key, h_idx, min_hash).
    *
    * The `numHashes` permutation proxies are disjoint hex slices of ONE

@@ -77,6 +77,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == (0L until 39L).map(i => (i, i + 1)).toSet)
   }
 
+  test("components: transitive closure over pairs (chain diameter > 1)") {
+    // two components: a 4-chain {1-2, 2-3, 3-4} (diameter 3 — needs >1
+    // propagation round) and an isolated pair {10-11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("key_a", "key_b")
+    val comp = Dedup.components(pairs, "key_a", "key_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val drops = Dedup.dropKeys(pairs, "key_a", "key_b")
+      .as[(Long, Long)].collect().toSet
+    assert(drops == Set((2L, 1L), (3L, 1L), (4L, 1L), (11L, 10L)))
+  }
+
   test("ngramJaccard capped jaccard uses full set sizes (lower bound contract)") {
     val df = Seq(
       (1L, "a b c d e f"),
