@@ -179,8 +179,31 @@ object Engine {
 
   def findText(pages: DataFrame, term: String,
       caseInsensitive: Boolean = false, wholeWord: Boolean = false,
-      regex: Boolean = false): DataFrame =
-    TextAnalysis.textSearch(pages, "url", "text", term, caseInsensitive, wholeWord, regex)
+      regex: Boolean = false, maxPerDoc: Int = Int.MaxValue): DataFrame =
+    TextAnalysis.textSearch(pages, "url", "text", term,
+      caseInsensitive, wholeWord, regex, maxPerDoc)
+
+  /** Corpus structure summary — the analyze_project composite
+   * (tools/analysis.py:419-583): page/site/language totals, language
+   * histogram, and symbol-type counts over a per-language sample. One
+   * summary row; heavy lifting stays distributed, the row is metadata. */
+  def analyzeCorpus(pages: DataFrame, sampleDepth: Int = 3): DataFrame = {
+    val base = pages.withColumn("site", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+    val sampleCounts = symbols(sampleByLang(pages, sampleDepth))
+      .groupBy("symbol_type").agg(sum(size(col("symbols"))).as("n"))
+      .orderBy("symbol_type")
+      .select(concat_ws(":", col("symbol_type"), col("n")).as("v"))
+      .agg(concat_ws(",", collect_list(col("v"))).as("sample_symbol_counts"))
+    val langs = base.groupBy("lang").count().orderBy("lang")
+      .select(concat_ws(":", col("lang"), col("count")).as("v"))
+      .agg(concat_ws(",", collect_list(col("v"))).as("languages"))
+    base.agg(
+      count(lit(1)).as("n_pages"),
+      countDistinct(col("site")).as("n_sites"),
+      sum(length(col("html"))).cast("long").as("total_bytes"))
+      .crossJoin(langs)
+      .crossJoin(sampleCounts)
+  }
 
   /** Search hits with ±n context lines (W1, tools/search.py:87-100):
    * a per-url line window collecting (line, text, is_match) structs. */

@@ -50,7 +50,7 @@ object TextAnalysis {
    * reference's `re`). */
   def textSearch(df: DataFrame, key: String, text: String, term: String,
       caseInsensitive: Boolean = false, wholeWord: Boolean = false,
-      regex: Boolean = false): DataFrame = {
+      regex: Boolean = false, maxPerKey: Int = Int.MaxValue): DataFrame = {
     val lines = df.select(col(key),
       posexplode(split(col(text), "\n")).as(Seq("line0", "line_text")))
       .withColumn("line", (col("line0") + 1).cast("long")).drop("line0")
@@ -60,7 +60,13 @@ object TextAnalysis {
       else if (wholeWord) col("line_text").rlike("\\b" + java.util.regex.Pattern.quote(term) + "\\b")
       else if (caseInsensitive) lower(col("line_text")).contains(term.toLowerCase)
       else col("line_text").contains(term)
-    lines.where(hit)
+    val hits = lines.where(hit)
+    // per-document result budget (reference: per-file max_results break,
+    // search.py:111-112) — first maxPerKey hits in line order per key
+    if (maxPerKey == Int.MaxValue) hits
+    else hits.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy("line")))
+      .where(col("__rn") <= maxPerKey).drop("__rn")
   }
 
   /** Count of matching lines per doc — the aggregate flavour used when the

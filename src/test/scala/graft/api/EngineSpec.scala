@@ -58,6 +58,24 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.findText(pages, "ntity", wholeWord = true).count() == 0)
   }
 
+  test("findText per-doc budget and analyzeCorpus composite") {
+    // 'e' appears on several lines of every page; cap to 2 per doc
+    val capped = Engine.findText(pages, "e", maxPerDoc = 2)
+    assert(capped.groupBy("url").count().where(col("count") > 2).count() == 0)
+    assert(capped.count() == 400) // 200 pages × 2 (every page has ≥2 hits)
+    // budget keeps the FIRST hits in line order
+    val firstLines = capped.groupBy("url").agg(min("line").as("m"))
+    assert(firstLines.where(col("m") =!= 1).count() ==
+      Engine.findText(pages, "e").groupBy("url").agg(min("line").as("m"))
+        .where(col("m") =!= 1).count())
+
+    val summary = Engine.analyzeCorpus(pages, sampleDepth = 2).collect().head
+    assert(summary.getAs[Long]("n_pages") == 200)
+    assert(summary.getAs[Long]("n_sites") == 100)
+    assert(summary.getAs[String]("languages").split(',').length == 4)
+    assert(summary.getAs[String]("sample_symbol_counts").contains("heading:"))
+  }
+
   test("findText regex mode (use_regex analogue, incl. case-insensitive)") {
     // every page's h1 text is "Entity <i>"
     assert(Engine.findText(pages, "Entity [0-9]+", regex = true).count() == 200)
