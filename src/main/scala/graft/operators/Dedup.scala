@@ -188,22 +188,31 @@ object Dedup {
     // distribute the bits as evenly as possible so every band is non-empty
     val widths = Array.tabulate(nb)(i => totalBits / nb + (if (i < totalBits % nb) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val bandCols = (0 until nb).map { i =>
+    def bandVal(c: Column, i: Int): Column = {
       val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
-      struct(lit(i).as("band"),
-        shiftright(col("simhash"), offsets(i)).bitwiseAND(lit(mask)).as("bv"))
+      shiftright(c, offsets(i)).bitwiseAND(lit(mask))
     }
+    val bandCols = (0 until nb).map(i =>
+      struct(lit(i).as("band"), bandVal(col("simhash"), i).as("bv")))
     val banded = sh
       .select(col(key), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col(key), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     val a = banded.select(col(key).as("key_a"), col("simhash").as("sim_a"), col("band"), col("bv"))
     val b = banded.select(col(key).as("key_b"), col("simhash").as("sim_b"), col("band"), col("bv"))
+    // emit each pair ONLY at its first agreeing band: a codegen'd filter on
+    // the two signatures replaces a distinct() that would re-shuffle the
+    // whole candidate set (pairs agreeing on m bands met m times)
+    val firstAgreeingBand = (0 until nb).map { i =>
+      (0 until i).map(j => bandVal(col("sim_a"), j) =!= bandVal(col("sim_b"), j))
+        .foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
     a.join(b, Seq("band", "bv"))
       .where(col("key_a") < col("key_b"))
+      .where(firstAgreeingBand)
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
-      .select("key_a", "key_b", "hamming").distinct()
+      .select("key_a", "key_b", "hamming")
   }
 
   /** 16-bit near-dup pairs (see [[bandedPairs]] for the recall contract).

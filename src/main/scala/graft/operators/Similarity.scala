@@ -100,8 +100,10 @@ object Similarity {
     val scored = q.join(c, "__b")
       .where(col("__qk") =!= col("__ck"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
-    // multi-probe can surface the same (query, candidate) via 2 buckets
-    rankTopK(scored.dropDuplicates("__qk", "__ck"), k, qKey, cKey)
+    // no dedup needed: the probe set {b0} ∪ {b0^bit} is distinct values and
+    // a candidate has ONE bucket, so each (query, candidate) matches at
+    // most one probe row — a dropDuplicates here would only add a shuffle
+    rankTopK(scored, k, qKey, cKey)
   }
 
   /**
@@ -178,7 +180,9 @@ object Similarity {
     val scored = q.join(c, "__p")
       .where(col("__qk") =!= col("__ck"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
-    rankTopK(scored.dropDuplicates("__qk", "__ck"), k, qKey, cKey)
+    // nprobe centroid ids are distinct and a candidate is assigned to ONE
+    // centroid → at most one match per (query, candidate); no dedup shuffle
+    rankTopK(scored, k, qKey, cKey)
   }
 
   /** IVF-bucketed ANN: candidates share the query's coarse partition. */
