@@ -60,9 +60,9 @@ object SparkEntry {
       |  ((c_custkey*7919) % 17000 - 8500) / 100.0 AS lat,
       |  ((c_custkey*104729) % 36000 - 18000) / 100.0 AS lon FROM customer)""".stripMargin
 
-  /** DuckDB mirror of Dedup.minhashLsh at q13's parameters (shared by
-   * q13 and q57's recursive-closure oracle). */
-  private lazy val Q13Sql: String =
+  /** DuckDB mirror of Dedup.minhashLsh (4 bands × 2 rows) at a given
+   * jaccard threshold (shared by q13, q57, q58). */
+  private def minhashPairsSql(threshold: Double): String =
     s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
        |mh AS (SELECT doc_id, j.h_idx,
@@ -78,7 +78,9 @@ object SparkEntry {
        |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
        |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
        |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
-       |WHERE jaccard >= 0.05""".stripMargin
+       |WHERE jaccard >= $threshold""".stripMargin
+
+  private lazy val Q13Sql: String = minhashPairsSql(0.05)
 
   /** DuckDB mirror of Dedup.simhash64 (shared by q52/q53). */
   private val Sim64SqlCte =
@@ -235,6 +237,9 @@ object SparkEntry {
         .select(col("tile_id"), col("zoom"), col("f.c_custkey").as("c_custkey"),
           col("f.entity_idx").cast("long").as("entity_idx"),
           col("f.cell_id").as("cell_id"))),
+
+    "q58_clean_corpus" -> ((s, d) =>
+      graft.api.Engine.cleanCorpus(tbl(s, d, "documents"), "doc_id", "text")),
 
     "q57_dedup_components" -> ((s, d) =>
       Dedup.dropKeys(
@@ -547,6 +552,34 @@ object SparkEntry {
          |WHERE jaccard >= 0.05""".stripMargin),
 
     "q13_minhash_lsh" -> Q13Sql,
+
+    "q58_clean_corpus" -> {
+      val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE pairs AS (${minhashPairsSql(0.5)}),
+         |edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+         |          UNION SELECT key_b, key_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |neard AS (SELECT key FROM (
+         |  SELECT src AS key, least(src, min(dst)) AS component FROM reach GROUP BY src)
+         |  WHERE key <> component),
+         |dg AS (SELECT doc_id, md5(text) AS digest FROM documents),
+         |keepk AS (SELECT digest, min(doc_id) AS k FROM dg GROUP BY digest),
+         |exd AS (SELECT doc_id FROM dg JOIN keepk USING (digest) WHERE doc_id <> k),
+         |qual AS (SELECT doc_id FROM documents
+         |  WHERE len(string_split(text, ' ')) < 5 OR
+         |    len(list_filter(string_split(lower(text), ' '), t -> list_contains($sw, t)))::DOUBLE
+         |      / len(string_split(text, ' ')) < 0.05)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+         |       WHEN doc_id IN (SELECT key FROM neard) THEN 'near_dup'
+         |       WHEN doc_id IN (SELECT doc_id FROM qual) THEN 'low_quality'
+         |       ELSE 'keep' END AS status
+         |FROM documents""".stripMargin
+    },
 
     // transitive closure of the q13 near-dup pairs via recursive CTE —
     // the exact fixed point the engine's label propagation converges to

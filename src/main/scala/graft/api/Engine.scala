@@ -319,6 +319,49 @@ object Engine {
       kClusters: Int = 16, iters: Int = 3, nprobe: Int = 2): DataFrame =
     Similarity.kmeansIvfTopK(queries, qKey, qVec, corpus, cKey, cVec, k, kClusters, iters, nprobe)
 
+  /**
+   * The full training-data cleaning decision in one call — the composite
+   * a 100 TB corpus pipeline runs before tokenization: per document,
+   * `status` ∈ {exact_dup, near_dup, low_quality, keep} with that fixed
+   * precedence. Exact dups keep the min-key survivor; near dups are the
+   * transitive minhash-LSH clusters' non-survivors
+   * ([[graft.operators.Dedup.dropKeys]]); quality = token count and
+   * stopword-ratio floors (the C4-style heuristic gate).
+   *
+   * Every stage is a shuffle-bounded DataFrame op (digests, band keys,
+   * component labels — never text) and the whole decision is
+   * deterministic, so it has an exact SQL oracle (q58).
+   */
+  def cleanCorpus(docs: DataFrame, key: String, text: String,
+      minTokens: Long = 5, minStopwordRatio: Double = 0.05,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val withDigest = docs.select(col(key), md5(col(text).cast("binary")).as("__digest"))
+    val exactDrop = withDigest
+      .join(withDigest.groupBy("__digest").agg(min(col(key)).as("__keep")), "__digest")
+      .where(col(key) =!= col("__keep"))
+      .select(col(key)).withColumn("__exact", lit(true))
+    val nearDrop = Dedup.dropKeys(
+      Dedup.minhashLsh(docs, key, text, bands = 4, rowsPerBand = 2, nearDupThreshold),
+      "key_a", "key_b")
+      .select(col("drop_key").as(key)).withColumn("__near", lit(true))
+    val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct
+    val lowQuality = docs
+      .select(col(key), size(TextAnalysis.tokens(col(text))).cast("long").as("__nt"),
+        (size(filter(TextAnalysis.tokens(lower(col(text))), t => t.isInCollection(sw)))
+          .cast("double") / size(TextAnalysis.tokens(col(text)))).as("__swr"))
+      .where(col("__nt") < minTokens || col("__swr") < minStopwordRatio)
+      .select(col(key)).withColumn("__lowq", lit(true))
+    docs.select(col(key))
+      .join(exactDrop, Seq(key), "left_outer")
+      .join(nearDrop, Seq(key), "left_outer")
+      .join(lowQuality, Seq(key), "left_outer")
+      .select(col(key),
+        when(col("__exact"), "exact_dup")
+          .when(col("__near"), "near_dup")
+          .when(col("__lowq"), "low_quality")
+          .otherwise("keep").as("status"))
+  }
+
   // ---- metadata surface (list/describe tools) -----------------------------
 
   /** Query-template metadata (list_query_templates / get_query_template,
