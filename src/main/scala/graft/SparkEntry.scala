@@ -210,7 +210,7 @@ object SparkEntry {
       PagesFromDocs(tbl(s, d, "documents"))
         .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
           "node_id", "parent_id", "depth", "kind", "name", "attrs",
-          "sb", "eb", "sr", "sc", "er", "ec", "path")))
+          "sb", "eb", "sr", "sc", "er", "ec", "path", "n_children")))
         .groupBy(concat_ws("/", col("path")).as("path"))
         .agg(count(lit(1)).as("n"))),
 
@@ -347,7 +347,7 @@ object SparkEntry {
       PagesFromDocs(tbl(s, d, "documents"))
         .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
           "node_id", "parent_id", "depth", "kind", "name", "attrs",
-          "sb", "eb", "sr", "sc", "er", "ec", "path")))
+          "sb", "eb", "sr", "sc", "er", "ec", "path", "n_children")))
         .groupBy("doc_id")
         .agg(
           sum(when(col("kind") === "element", 1L).otherwise(0L)).as("n_elements"),
@@ -399,7 +399,7 @@ object SparkEntry {
       PagesFromDocs(tbl(s, d, "documents"))
         .select(col("doc_id"), parse_html_nodes(col("html")).as(Seq(
           "node_id", "parent_id", "depth", "kind", "name", "attrs",
-          "sb", "eb", "sr", "sc", "er", "ec", "path")))
+          "sb", "eb", "sr", "sc", "er", "ec", "path", "n_children")))
         .groupBy(col("depth").cast("long").as("depth"))
         .agg(count(lit(1)).as("n"))),
 

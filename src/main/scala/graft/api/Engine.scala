@@ -52,24 +52,19 @@ object Engine {
   def nodes(pages: DataFrame): DataFrame =
     pages.select(col("url"), parse_html_nodes(col("html")).as(Seq(
       "node_id", "parent_id", "depth", "kind", "name", "attrs",
-      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
+      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
+      "path", "children_count")))
 
   /** Depth-capped node table with a `truncated` marker on nodes whose
    * children were cut (get_ast max_depth + truncated flag,
    * models/ast_cursor.py:123-126; default depth from EngineConfig.maxDepth
-   * ← reference language.default_max_depth, config.py:50). Computed
-   * relationally: a node at the cap is truncated iff some node claims it
-   * as parent — a self-join on parent_id, no tree walk. */
-  def nodesToDepth(pages: DataFrame, maxDepth: Int): DataFrame = {
-    val all = nodes(pages)
-    val parentsAtCap = all.where(col("depth") === maxDepth + 1)
-      .select(col("url").as("__u"), col("parent_id").as("__p")).distinct()
-    all.where(col("depth") <= maxDepth)
-      .join(parentsAtCap,
-        col("url") === col("__u") && col("node_id") === col("__p"), "left_outer")
-      .withColumn("truncated", col("__p").isNotNull)
-      .drop("__u", "__p")
-  }
+   * ← reference language.default_max_depth, config.py:50). One pass — a
+   * cap-level node is truncated iff it has children (children_count > 0),
+   * so no self-join and no second parse of the corpus. */
+  def nodesToDepth(pages: DataFrame, maxDepth: Int): DataFrame =
+    nodes(pages).where(col("depth") <= maxDepth)
+      .withColumn("truncated",
+        col("depth") === maxDepth && col("children_count") > 0)
 
   /** Most-specific node containing a point — interval join + min-span
    * (find_node_at_position, models/ast.py:87-109). */
@@ -189,14 +184,15 @@ object Engine {
    * summary row; heavy lifting stays distributed, the row is metadata. */
   def analyzeCorpus(pages: DataFrame, sampleDepth: Int = 3): DataFrame = {
     val base = pages.withColumn("site", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+    // sort INSIDE the aggregate: collect_list merges partial buffers in
+    // shuffle-fetch order, so a pre-agg orderBy does not survive
     val sampleCounts = symbols(sampleByLang(pages, sampleDepth))
       .groupBy("symbol_type").agg(sum(size(col("symbols"))).as("n"))
-      .orderBy("symbol_type")
       .select(concat_ws(":", col("symbol_type"), col("n")).as("v"))
-      .agg(concat_ws(",", collect_list(col("v"))).as("sample_symbol_counts"))
-    val langs = base.groupBy("lang").count().orderBy("lang")
+      .agg(array_join(array_sort(collect_list(col("v"))), ",").as("sample_symbol_counts"))
+    val langs = base.groupBy("lang").count()
       .select(concat_ws(":", col("lang"), col("count")).as("v"))
-      .agg(concat_ws(",", collect_list(col("v"))).as("languages"))
+      .agg(array_join(array_sort(collect_list(col("v"))), ",").as("languages"))
     base.agg(
       count(lit(1)).as("n_pages"),
       countDistinct(col("site")).as("n_sites"),

@@ -174,7 +174,8 @@ case class ParseHtmlNodesExpr(html: Expression) extends UnaryExpression with Gen
       InternalRow(n.id, n.parentId, n.depth,
         UTF8String.fromString(n.kind), UTF8String.fromString(n.name),
         new ArrayBasedMapData(keys, vals),
-        n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol, path)
+        n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol,
+        path, n.childrenCount)
     }.toSeq
   }
   override protected def withNewChildInternal(c: Expression) = copy(html = c)
@@ -193,7 +194,8 @@ object ParseHtmlNodesExpr {
     StructField("start_col", IntegerType, nullable = false),
     StructField("end_row", IntegerType, nullable = false),
     StructField("end_col", IntegerType, nullable = false),
-    StructField("path", ArrayType(StringType, containsNull = false), nullable = false)))
+    StructField("path", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("children_count", IntegerType, nullable = false)))
 }
 
 /** Capture rows for a named extraction spec (reference row shape:

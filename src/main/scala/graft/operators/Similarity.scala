@@ -34,16 +34,47 @@ object Similarity {
    * cost — bits×dim lambda dispatches per row). */
   def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
+  /** Self-pair exclusion that is safe across key types: comparing a long
+   * query key with a string corpus key under ANSI would throw on the
+   * implicit cast; distinct types cannot collide, so the filter is a
+   * no-op then. */
+  private def notSelfPair(scored: DataFrame): DataFrame =
+    if (scored.schema("__qk").dataType == scored.schema("__ck").dataType)
+      scored.where(col("__qk") =!= col("__ck"))
+    else scored
+
   /** Shared ranking stage: (…, __qk, __ck, cos) → top-k per __qk by
-   * (cos desc, __ck asc), rank 1..k. */
-  private def rankTopK(scored: DataFrame, k: Int, qKey: String, cKey: String): DataFrame =
-    scored.groupBy("__qk")
-      .agg(TopKByScore.topK(k)(col("cos"), col("__ck").cast("long")).as("__tk"))
-      .select(col("__qk"), col("__tk.scores").as("__ss"),
-        posexplode(col("__tk.keys")).as(Seq("__pos", "__ck")))
-      .select(col("__qk").as(qKey), col("__ck").as(cKey),
-        element_at(col("__ss"), col("__pos") + 1).as("cos"),
-        (col("__pos") + 1).as("rank"))
+   * (cos desc, __ck asc), rank 1..k.
+   *
+   * Integral corpus keys take the map-side partial top-k Aggregator (the
+   * scale path: ≤ k rows per query per map task reach the exchange; key
+   * round-trips through long losslessly and is cast back to its original
+   * type). Non-integral keys (strings, etc.) keep the row_number window —
+   * same ordering semantics, full candidate shuffle, correct for every
+   * key type. */
+  private def rankTopK(scored: DataFrame, k: Int, qKey: String, cKey: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyType = scored.schema("__ck").dataType
+    val integral = keyType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      scored.groupBy("__qk")
+        .agg(TopKByScore.topK(k)(col("cos"), col("__ck").cast("long")).as("__tk"))
+        .select(col("__qk"), col("__tk.scores").as("__ss"),
+          posexplode(col("__tk.keys")).as(Seq("__pos", "__ck")))
+        .select(col("__qk").as(qKey), col("__ck").cast(keyType).as(cKey),
+          element_at(col("__ss"), col("__pos") + 1).as("cos"),
+          (col("__pos") + 1).as("rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("__qk").as(qKey), col("__ck").as(cKey), col("cos"), col("rank"))
+    }
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -58,8 +89,7 @@ object Similarity {
       corpus: DataFrame, cKey: String, cVec: String, k: Int): DataFrame = {
     val q = queries.select(col(qKey).as("__qk"), col(qVec).as("__qv"))
     val c = corpus.select(col(cKey).as("__ck"), col(cVec).as("__cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("__qk") =!= col("__ck"))
+    val scored = notSelfPair(c.crossJoin(broadcast(q)))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
     rankTopK(scored, k, qKey, cKey)
   }
@@ -97,8 +127,7 @@ object Similarity {
         (col("__b0") +: (0 until bits).map(j => col("__b0").bitwiseXOR(lit(1L << j)))): _*)))
     val c = corpus.select(col(cKey).as("__ck"), col(cVec).as("__cv"))
       .withColumn("__b", bucket(col("__cv"), dim))
-    val scored = q.join(c, "__b")
-      .where(col("__qk") =!= col("__ck"))
+    val scored = notSelfPair(q.join(c, "__b"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
     // no dedup needed: the probe set {b0} ∪ {b0^bit} is distinct values and
     // a candidate has ONE bucket, so each (query, candidate) matches at
@@ -120,13 +149,14 @@ object Similarity {
    */
   def kmeansCentroids(corpus: DataFrame, cKey: String, cVec: String,
       kClusters: Int, iters: Int): Array[Array[Double]] = {
+    // element type agnostic (array<float> or array<double>, like the dot kernel)
     val init = corpus.orderBy(col(cKey)).limit(kClusters)
-      .select(col(cVec)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .select(col(cVec).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "kmeansCentroids: empty corpus")
     var centroids = init
     for (_ <- 0 until iters) {
       val assigned = assignToCentroids(corpus, cVec, centroids)
-      val dim = centroids(0).length
       // element-wise mean per centroid: posexplode + (centroid, pos) agg;
       // result is kClusters×dim rows — driver-side metadata by design
       val means = assigned
@@ -177,8 +207,7 @@ object Similarity {
     val q = queries.select(col(qKey).as("__qk"), col(qVec).as("__qv"))
       .withColumn("__p", explode(transform(
         slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe), s => s.getField("c"))))
-    val scored = q.join(c, "__p")
-      .where(col("__qk") =!= col("__ck"))
+    val scored = notSelfPair(q.join(c, "__p"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
     // nprobe centroid ids are distinct and a candidate is assigned to ONE
     // centroid → at most one match per (query, candidate); no dedup shuffle
@@ -190,8 +219,7 @@ object Similarity {
       corpus: DataFrame, cKey: String, cVec: String, cPart: String, k: Int): DataFrame = {
     val q = queries.select(col(qKey).as("__qk"), col(qVec).as("__qv"), col(qPart).as("__p"))
     val c = corpus.select(col(cKey).as("__ck"), col(cVec).as("__cv"), col(cPart).as("__p"))
-    val scored = q.join(c, "__p")
-      .where(col("__qk") =!= col("__ck"))
+    val scored = notSelfPair(q.join(c, "__p"))
       .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 4))
     rankTopK(scored, k, qKey, cKey)
   }

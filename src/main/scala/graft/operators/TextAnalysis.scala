@@ -51,6 +51,8 @@ object TextAnalysis {
   def textSearch(df: DataFrame, key: String, text: String, term: String,
       caseInsensitive: Boolean = false, wholeWord: Boolean = false,
       regex: Boolean = false, maxPerKey: Int = Int.MaxValue): DataFrame = {
+    require(!(wholeWord && regex),
+      "wholeWord and regex are mutually exclusive: in regex mode put \\b in the pattern")
     val lines = df.select(col(key),
       posexplode(split(col(text), "\n")).as(Seq("line0", "line_text")))
       .withColumn("line", (col("line0") + 1).cast("long")).drop("line0")

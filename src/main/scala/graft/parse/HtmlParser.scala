@@ -32,7 +32,8 @@ final case class HtmlNode(
     startRow: Int,
     startCol: Int,
     endRow: Int,
-    endCol: Int) {
+    endCol: Int,
+    childrenCount: Int) { // reference node field (ast_cursor.py:58)
   def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
 }
 
@@ -364,12 +365,14 @@ object HtmlParser {
     // (the index chain is kept on ParseResult for lazy path building).
     val ids = new Array[Long](out.length)
     val parentIdx = new Array[Int](out.length)
+    val childCount = new Array[Int](out.length)
     var q = 0
     while (q < out.length) {
       val nd = out(q)
       val key = if (nd.kind == "element") nd.name else nd.kind
       ids(q) = nodeId(nd.startByte, nd.endByte, key)
       parentIdx(q) = nd.parentId.toInt
+      if (parentIdx(q) >= 0) childCount(parentIdx(q)) += 1
       q += 1
     }
     val nodes = new Array[HtmlNode](out.length)
@@ -392,7 +395,8 @@ object HtmlParser {
         startRow = rowOfOffset(ls, nd.startByte),
         startCol = nd.startByte - ls(rowOfOffset(ls, nd.startByte)),
         endRow = endRow,
-        endCol = endRowOff - ls(rowOfOffset(ls, endRowOff)))
+        endCol = endRowOff - ls(rowOfOffset(ls, endRowOff)),
+        childrenCount = childCount(q))
       q += 1
     }
     ParseResult(scala.collection.immutable.ArraySeq.unsafeWrapArray(nodes), src, parentIdx)

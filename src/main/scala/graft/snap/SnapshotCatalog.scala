@@ -103,9 +103,13 @@ object SnapshotCatalog {
   def listTables(root: String): Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Nil
-    else Files.list(r).iterator().asScala
-      .filter(p => Files.exists(p.resolve("CURRENT")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val stream = Files.list(r)
+      try stream.iterator().asScala
+        .filter(p => Files.exists(p.resolve("CURRENT")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally stream.close()
+    }
   }
 
   /** Drop a table: delete its directory tree (reference: remove_project,
@@ -113,8 +117,10 @@ object SnapshotCatalog {
   def dropTable(root: String, table: String): Unit = {
     val dir = tableDir(root, table)
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val stream = Files.walk(dir)
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally stream.close()
     }
   }
 

@@ -134,8 +134,7 @@ class EngineSpec extends AnyFunSuite {
     // depth-3 nodes exist in the fixtures, so some depth-2 parents truncate
     val truncated = capped.where(col("truncated"))
     assert(truncated.count() > 0)
-    assert(truncated.where(col("depth") =!= 2).count() == 0 ||
-      truncated.where(col("depth") < 2).count() >= 0) // only cap-level nodes can truncate here
+    assert(truncated.where(col("depth") =!= 2).count() == 0) // only cap-level nodes truncate
     // a truncated node really has children beyond the cap
     val full = Engine.nodes(pages)
     val t0 = truncated.select("url", "node_id").as[(String, Long)].first()

@@ -83,7 +83,8 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = Seq(Tuple1(page1)).toDF("html")
       .select(parse_html_nodes($"html").as(Seq(
         "node_id", "parent_id", "depth", "kind", "name", "attrs",
-        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
+        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
+        "path", "children_count")))
     val names = df.where($"kind" === "element").select("name").as[String].collect()
     assert(names.count(_ == "a") == 2)
     assert(names.contains("h1") && names.contains("meta"))
@@ -97,7 +98,8 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = Seq(Tuple1(page1)).toDF("html")
       .select(parse_html_nodes($"html").as(Seq(
         "node_id", "parent_id", "depth", "kind", "name", "attrs",
-        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col", "path")))
+        "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
+        "path", "children_count")))
     val rows = df.select("node_id", "parent_id", "depth", "kind", "name", "path")
       .as[(Long, Long, Int, String, String, Seq[String])].collect()
     val byId = rows.map(r => r._1 -> r).toMap

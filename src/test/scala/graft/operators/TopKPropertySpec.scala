@@ -11,27 +11,42 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class TopKPropertySpec extends AnyFunSuite {
 
+  /** Spark's double ordering: NaN largest, -0.0 < 0.0 (Double.compare). */
   private def sortTake(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
-    xs.sortBy { case (s, key) => (-s, key) }.take(k)
+    xs.sortWith { case ((s1, k1), (s2, k2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && k1 < k2)
+    }.take(k)
 
   private def buf(agg: TopKByScore, xs: Seq[(Double, Long)]): TopKBuf =
     xs.foldLeft(agg.zero)(agg.reduce)
 
-  private def toSeq(b: TopKBuf): Seq[(Double, Long)] = b.scores.zip(b.keys).toSeq
+  private def toSeq(b: TopKBuf): Seq[(Double, Long)] =
+    b.scores.take(b.n).zip(b.keys.take(b.n)).toSeq
 
-  /** Deterministic draw: n pairs with coarse scores (forces ties) and a
-   * small key space (forces equal keys across chunks). */
+  /** Deterministic draw: n pairs with coarse scores (forces ties), a
+   * small key space (forces equal keys across chunks), and occasional
+   * NaN scores (0/0 cosines must keep the order total). */
   private def draw(seed: Long): Seq[(Double, Long)] = {
     val rnd = new scala.util.Random(seed)
     val n = rnd.nextInt(60)
-    Seq.fill(n)(((rnd.nextInt(21) - 10) / 10.0, rnd.nextInt(30).toLong))
+    Seq.fill(n) {
+      val s = if (rnd.nextInt(12) == 0) Double.NaN else (rnd.nextInt(21) - 10) / 10.0
+      (s, rnd.nextInt(30).toLong)
+    }
   }
+
+  // NaN != NaN under ==, so compare on the bit pattern
+  private def eq(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Boolean =
+    a.size == b.size && a.zip(b).forall { case ((s1, k1), (s2, k2)) =>
+      java.lang.Double.doubleToLongBits(s1) == java.lang.Double.doubleToLongBits(s2) && k1 == k2
+    }
 
   test("sequential reduce equals sort-take for any k") {
     for (seed <- 0 until 300) {
       val xs = draw(seed)
       val k = 1 + (seed % 10)
-      assert(toSeq(buf(new TopKByScore(k), xs)) == sortTake(xs, k), s"seed=$seed k=$k")
+      assert(eq(toSeq(buf(new TopKByScore(k), xs)), sortTake(xs, k)), s"seed=$seed k=$k")
     }
   }
 
@@ -45,7 +60,7 @@ class TopKPropertySpec extends AnyFunSuite {
         if (xs.isEmpty) Seq(Seq.empty[(Double, Long)])
         else xs.grouped(math.max(1, xs.size / parts)).toSeq
       val merged = chunks.map(c => buf(agg, c)).foldLeft(agg.zero)(agg.merge)
-      assert(toSeq(merged) == sortTake(xs, k), s"seed=$seed k=$k parts=$parts")
+      assert(eq(toSeq(merged), sortTake(xs, k)), s"seed=$seed k=$k parts=$parts")
     }
   }
 
@@ -54,12 +69,13 @@ class TopKPropertySpec extends AnyFunSuite {
       val k = 1 + (seed % 6)
       val agg = new TopKByScore(k)
       val (a, b, c) = (draw(seed + 2000), draw(seed + 3000), draw(seed + 4000))
-      val (ba, bb, bc) = (buf(agg, a), buf(agg, b), buf(agg, c))
-      val left = toSeq(agg.merge(agg.merge(ba, bb), bc))
-      val right = toSeq(agg.merge(ba, agg.merge(bb, bc)))
-      val swapped = toSeq(agg.merge(agg.merge(bc, ba), bb))
-      assert(left == right && left == swapped, s"seed=$seed k=$k")
-      assert(left == sortTake(a ++ b ++ c, k))
+      // merge may mutate its left argument (the Aggregator contract Spark
+      // relies on), so rebuild fresh buffers for each expression
+      val left = toSeq(agg.merge(agg.merge(buf(agg, a), buf(agg, b)), buf(agg, c)))
+      val right = toSeq(agg.merge(buf(agg, a), agg.merge(buf(agg, b), buf(agg, c))))
+      val swapped = toSeq(agg.merge(agg.merge(buf(agg, c), buf(agg, a)), buf(agg, b)))
+      assert(eq(left, right) && eq(left, swapped), s"seed=$seed k=$k")
+      assert(eq(left, sortTake(a ++ b ++ c, k)))
     }
   }
 }
