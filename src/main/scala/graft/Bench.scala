@@ -100,15 +100,24 @@ object Bench {
     // saturate every vCPU of this 32-core host — even a trivial codegen'd
     // job then caps at ~0.75 scaling because Spark's daemon/GC/OS threads
     // compete — so 4→16 measures the ENGINE's scaling, not host saturation.
-    // two interleaved children per level; min across draws (see
-    // BenchPipeline note on the host's bimodal noise)
-    val m1a = measure(4); val m2a = measure(16)
-    val m1b = measure(4); val m2b = measure(16)
-    val t4 = math.min(m1a, m1b)
-    val t16 = math.min(m2a, m2b)
+    //
+    // The shared host carries bursty external load that steals cores for
+    // minutes at a time, inflating whichever child it hits (observed: the
+    // same binary drew per-round efficiencies of 0.59 and 1.54 within one
+    // run because interference flipped between the 4- and 16-core child).
+    // Interference can only ever INFLATE a child's time, so the capability
+    // estimate is the classic min-time one: the LEAST-INTERFERED draw of
+    // EACH level across three interleaved rounds (6 fresh children per
+    // run, each internally min-of-2). All rounds are reported raw.
+    val rounds = (1 to 3).map { _ =>
+      val a = measure(4); val b = measure(16)
+      (a, b, (benchN / b) / (benchN / a) / 4.0)
+    }
+    val t4 = rounds.map(_._1).min
+    val t16 = rounds.map(_._2).min
+    val eff = t4 / (t16 * 4.0)
     val tp4 = benchN / t4
     val tp16 = benchN / t16
-    val eff = (tp16 / tp4) / 4.0
 
     // ---- per-query timings ------------------------------------------------
     val s = session(cpus)
@@ -122,8 +131,11 @@ object Bench {
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val roundsJson = rounds.map { case (a, b, e) =>
+      s"""{"tN":${f(a)},"t4N":${f(b)},"eff":${f(e)}}""" }.mkString("[", ",", "]")
     val scaling = s"""{"n_cores":4,"n4_cores":16,"pN_pages_per_sec":${f(tp4)},"p4N_pages_per_sec":${f(tp16)},""" +
-      s""""efficiency":${f(eff)},"bench_pages":$benchN,"tN_sec":${f(t4)},"t4N_sec":${f(t16)}}"""
+      s""""efficiency":${f(eff)},"bench_pages":$benchN,"tN_sec":${f(t4)},"t4N_sec":${f(t16)},""" +
+      s""""rounds":$roundsJson}"""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }
