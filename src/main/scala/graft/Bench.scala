@@ -107,9 +107,9 @@ object Bench {
     // run because interference flipped between the 4- and 16-core child).
     // Interference can only ever INFLATE a child's time, so the capability
     // estimate is the classic min-time one: the LEAST-INTERFERED draw of
-    // EACH level across three interleaved rounds (6 fresh children per
+    // EACH level across four interleaved rounds (8 fresh children per
     // run, each internally min-of-2). All rounds are reported raw.
-    val rounds = (1 to 3).map { _ =>
+    val rounds = (1 to 4).map { _ =>
       val a = measure(4); val b = measure(16)
       (a, b, (benchN / b) / (benchN / a) / 4.0)
     }
