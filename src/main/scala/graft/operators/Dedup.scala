@@ -36,12 +36,14 @@ object Dedup {
    * decision (pairs are NOT transitive-closed by construction: a~b and
    * b~c does not emit a~c, so per-pair min-keep would under-drop).
    *
-   * Iterative min-label propagation (the standard large-graph CC shape on
-   * Spark): every key starts labeled with itself; each round joins labels
-   * across edges and keeps the per-key min; stops when a round changes
-   * nothing. Rounds needed = graph diameter ≤ O(log n) for near-dup
-   * blobs (they are dense clusters, diameter 1-2 in practice). Per round:
-   * one hash join + one aggregate, state checkpointed like Knn's loop.
+   * Iterative min-label propagation WITH pointer jumping: every key
+   * starts labeled with itself; each round takes the min of (own label,
+   * neighbours' labels, own label's label). The edge hop alone converges
+   * in diameter rounds — a drift chain d1~d2~…~dL would cost L rounds —
+   * but the label-of-label jump halves the remaining pointer depth every
+   * round, so convergence is O(log diameter) (the classic pointer-jumping
+   * CC bound). Per round: two hash joins + one aggregate, state
+   * checkpointed like Knn's loop.
    *
    * @param pairs (keyA, keyB) undirected edges
    * @return (key, component) for every key appearing in a pair;
@@ -52,27 +54,36 @@ object Dedup {
       .union(pairs.select(col(keyB).as("src"), col(keyA).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("key")).distinct()
-      .withColumn("component", col("key"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      // neighbour labels: for each key, the min label among its neighbours
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("key", "dst"), "dst")
-        .groupBy(col("src").as("key"))
-        .agg(min(col("component")).as("__nbr"))
-      val next = labels.join(viaEdges, Seq("key"), "left_outer")
-        .select(col("key"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
+    try {
+      var labels = edges.select(col("src").as("key")).distinct()
+        .withColumn("component", col("key"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "__old"), "key")
-        .where(col("component") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
-    }
-    edges.unpersist()
-    labels
+      var changed = 1L
+      while (changed > 0) {
+        // neighbour labels: for each key, the min label among its neighbours
+        val viaEdges = edges
+          .join(labels.withColumnRenamed("key", "dst"), "dst")
+          .groupBy(col("src").as("key"))
+          .agg(min(col("component")).as("__nbr"))
+        // pointer jump: my current label's current label
+        val jump = labels
+          .join(labels.select(col("key").as("component"), col("component").as("__jmp")),
+            Seq("component"))
+          .select(col("key"), col("__jmp"))
+        val next = labels.join(viaEdges, Seq("key"), "left_outer")
+          .join(jump, Seq("key"), "left_outer")
+          .select(col("key"),
+            least(col("component"),
+              coalesce(col("__nbr"), col("component")),
+              coalesce(col("__jmp"), col("component"))).as("component"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("component", "__old"), "key")
+          .where(col("component") =!= col("__old")).count()
+        labels.unpersist()
+        labels = next
+      }
+      labels
+    } finally edges.unpersist()
   }
 
   /** Keep/drop decision from a pair list: one row per key that should be

@@ -34,14 +34,20 @@ object Similarity {
    * cost — bits×dim lambda dispatches per row). */
   def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
-  /** Self-pair exclusion that is safe across key types: comparing a long
-   * query key with a string corpus key under ANSI would throw on the
-   * implicit cast; distinct types cannot collide, so the filter is a
-   * no-op then. */
-  private def notSelfPair(scored: DataFrame): DataFrame =
-    if (scored.schema("__qk").dataType == scored.schema("__ck").dataType)
-      scored.where(col("__qk") =!= col("__ck"))
-    else scored
+  /** Self-pair exclusion that is safe across key types. The filter runs
+   * whenever the comparison is ANSI-safe AND collisions are possible:
+   * equal types, or any numeric/numeric mix (int query ids vs long corpus
+   * ids widen safely and DO collide). It is skipped only for
+   * incomparable mixes (e.g. long vs string), where an ANSI cast would
+   * throw and a collision cannot exist. */
+  private def notSelfPair(scored: DataFrame): DataFrame = {
+    val tq = scored.schema("__qk").dataType
+    val tc = scored.schema("__ck").dataType
+    val comparable = tq == tc ||
+      (tq.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        tc.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (comparable) scored.where(col("__qk") =!= col("__ck")) else scored
+  }
 
   /** Shared ranking stage: (…, __qk, __ck, cos) → top-k per __qk by
    * (cos desc, __ck asc), rank 1..k.

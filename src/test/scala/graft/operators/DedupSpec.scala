@@ -89,6 +89,17 @@ class DedupSpec extends AnyFunSuite {
     assert(drops == Set((2L, 1L), (3L, 1L), (4L, 1L), (11L, 10L)))
   }
 
+  test("components: pointer jumping converges fast on a long chain") {
+    // a 64-link drift chain (diameter 64): 1-hop propagation alone would
+    // need 64 driver rounds; with label-of-label jumping this stays small
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("key_a", "key_b")
+    val t0 = System.nanoTime()
+    val comp = Dedup.components(chain, "key_a", "key_b").as[(Long, Long)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(comp == (1L to 64L).map(_ -> 1L).toMap)
+    assert(secs < 60, s"chain CC took ${secs}s — pointer jumping regressed?")
+  }
+
   test("ngramJaccard capped jaccard uses full set sizes (lower bound contract)") {
     val df = Seq(
       (1L, "a b c d e f"),

@@ -45,19 +45,30 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("bruteTopK with STRING corpus keys (window fallback path)") {
-    val corpusS = emb.select(concat(lit("doc-"), col("vec_id")).as("k"), col("embedding"))
-    val got = Similarity.bruteTopK(queries, "q", "embedding", corpusS, "k", "embedding", 3)
+    // STRING keys on BOTH sides: the self-pair exclusion applies (string
+    // equality) and zero-padding makes lexicographic order == numeric
+    // order, so the window fallback must reproduce the numeric path's
+    // rows EXACTLY, rank and cos included
+    val corpusS = emb.select(format_string("doc-%05d", col("vec_id")).as("k"), col("embedding"))
+    val queriesS = emb.where(col("vec_id") < 30)
+      .select(format_string("doc-%05d", col("vec_id")).as("q"), col("embedding"))
+    val got = Similarity.bruteTopK(queriesS, "q", "embedding", corpusS, "k", "embedding", 3)
     assert(got.schema("k").dataType == org.apache.spark.sql.types.StringType)
-    assert(got.groupBy("q").count().where(col("count") =!= 3).count() == 0)
-    // ordering matches the numeric path modulo the key rename
+    val gotSet = got.select(col("q"), col("k"), col("cos"), col("rank"))
+      .as[(String, String, Double, Int)].collect().toSet
     val num = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 3)
-      .select(col("q"), concat(lit("doc-"), col("vec_id")).as("k"), col("rank"))
-      .as[(Long, String, Int)].collect().toSet
-    // note: string tie-break can differ from numeric when cos ties across
-    // keys like 9/10 — compare only rows whose cos is unique per query
-    val gotSet = got.select(col("q"), col("k"), col("rank"))
-      .as[(Long, String, Int)].collect().toSet
-    assert(gotSet.map(_._1) == num.map(_._1)) // same queries covered, k rows each
+      .select(format_string("doc-%05d", col("q")).as("q"),
+        format_string("doc-%05d", col("vec_id")).as("k"), col("cos"), col("rank"))
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(gotSet == num)
+  }
+
+  test("numeric-mix keys (int queries vs long corpus) still exclude self-pairs") {
+    val qInt = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("q"), col("embedding"))
+    val got = Similarity.bruteTopK(qInt, "q", "embedding", emb, "vec_id", "embedding", 3)
+    // a self-pair would dominate at cos=1.0 rank 1
+    assert(got.where(col("q").cast("long") === col("vec_id")).count() == 0)
   }
 
   test("ivfTopK restricts candidates to the query's partition") {
