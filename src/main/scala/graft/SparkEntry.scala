@@ -527,10 +527,14 @@ object SparkEntry {
       ("SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keep_key " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),
 
+    // mirrors the operator's default df-cap of 128 (shingles shared by
+    // >128 docs are excluded from intersections; set sizes stay full)
     "q12_ngram_jaccard" ->
       (s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
          |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |exall AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |rare AS (SELECT s FROM exall GROUP BY s HAVING count(*) <= 128),
+         |ex AS (SELECT doc_id, s FROM exall WHERE s IN (SELECT s FROM rare)),
          |inter AS (SELECT x.doc_id AS key_a, y.doc_id AS key_b, count(*) AS i
          |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
          |SELECT key_a, key_b, jaccard FROM (

@@ -55,16 +55,16 @@ object Engine {
       "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
       "path", "children_count")))
 
-  /** Depth-capped node table with a `truncated` marker on nodes whose
-   * children were cut (get_ast max_depth + truncated flag,
-   * models/ast_cursor.py:123-126; default depth from EngineConfig.maxDepth
-   * ← reference language.default_max_depth, config.py:50). One pass — a
-   * cap-level node is truncated iff it has children (children_count > 0),
-   * so no self-join and no second parse of the corpus. */
+  /** Depth-capped node table with a `truncated` marker (get_ast max_depth
+   * + truncated flag, models/ast_cursor.py:123-126; default depth from
+   * EngineConfig.maxDepth ← reference language.default_max_depth,
+   * config.py:50). Reference parity: EVERY node sitting at the cap is
+   * marked truncated — leaf or not — exactly as the reference flags any
+   * max_depth node when children are requested. One pass, no self-join,
+   * no second parse of the corpus. */
   def nodesToDepth(pages: DataFrame, maxDepth: Int): DataFrame =
     nodes(pages).where(col("depth") <= maxDepth)
-      .withColumn("truncated",
-        col("depth") === maxDepth && col("children_count") > 0)
+      .withColumn("truncated", col("depth") === maxDepth)
 
   /** Most-specific node containing a point — interval join + min-span
    * (find_node_at_position, models/ast.py:87-109). */

@@ -57,8 +57,19 @@ object EngineConfig {
       java.nio.file.Paths.get(path)), "UTF-8").linesIterator.toSeq
     var section = ""
     val kv = scala.collection.mutable.Map[String, String]()
+    // '#' starts a comment only at line start or after whitespace — a '#'
+    // inside a value (e.g. a url fragment in an allowed prefix) is literal
+    def stripComment(raw: String): String = {
+      var i = 0
+      while (i < raw.length) {
+        if (raw.charAt(i) == '#' && (i == 0 || raw.charAt(i - 1).isWhitespace))
+          return raw.substring(0, i)
+        i += 1
+      }
+      raw
+    }
     lines.foreach { raw =>
-      val noComment = raw.takeWhile(_ != '#')
+      val noComment = stripComment(raw)
       val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
       val line = noComment.trim
       if (line.nonEmpty && line.contains(':')) {
@@ -69,8 +80,9 @@ object EngineConfig {
       }
     }
     EngineConfig(
+      // size may be fractional ("5.0", "0.5") — parse as double, then bytes
       maxFileSizeBytes = kv.get("security.max_file_size_mb")
-        .map(_.toLong * 1024 * 1024).getOrElse(base.maxFileSizeBytes),
+        .map(v => (v.toDouble * 1024 * 1024).toLong).getOrElse(base.maxFileSizeBytes),
       maxResults = kv.get("max_results").map(_.toInt).getOrElse(base.maxResults),
       maxDepth = kv.get("language.default_max_depth").map(_.toInt).getOrElse(base.maxDepth),
       allowedPrefixes = kv.get("security.allowed_prefixes")

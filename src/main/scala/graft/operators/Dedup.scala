@@ -47,7 +47,13 @@ object Dedup {
    *
    * @param pairs (keyA, keyB) undirected edges
    * @return (key, component) for every key appearing in a pair;
-   *         component = min key of the connected component
+   *         component = min key of the connected component.
+   *         OWNERSHIP: the result is localCheckpoint-persisted (its lineage
+   *         is truncated, so the blocks ARE the data) — the caller must
+   *         `.unpersist()` it after the last action over it, or the blocks
+   *         live in executor storage for the session ([[dropKeys]] does
+   *         this: it materializes its own smaller output, then releases
+   *         the labels).
    */
   def components(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
     val edges = pairs.select(col(keyA).as("src"), col(keyB).as("dst"))
@@ -87,10 +93,18 @@ object Dedup {
   }
 
   /** Keep/drop decision from a pair list: one row per key that should be
-   * DROPPED (its component has a smaller key — the canonical survivor). */
-  def dropKeys(pairs: DataFrame, keyA: String, keyB: String): DataFrame =
-    components(pairs, keyA, keyB).where(col("key") =!= col("component"))
+   * DROPPED (its component has a smaller key — the canonical survivor).
+   * Materializes its (drop-rows-only, smaller) output eagerly so the full
+   * labels checkpoint from [[components]] can be released immediately
+   * instead of living in executor storage for the session. */
+  def dropKeys(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
+    val labels = components(pairs, keyA, keyB)
+    val out = labels.where(col("key") =!= col("component"))
       .select(col("key").as("drop_key"), col("component").as("keep_key"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
 
   /** MinHash signature matrix, long form: (key, h_idx, min_hash).
    *
@@ -101,11 +115,15 @@ object Dedup {
    * form is a cheap post-agg unpivot. Narrower slices only ADD band-key
    * collisions (false candidate agreements, never disagreements), and
    * the exact-Jaccard verify stage filters those — so LSH recall is
-   * unaffected while hashing cost drops numHashes-fold. */
+   * unaffected while hashing cost drops numHashes-fold.
+   *
+   * Slice width is floor(32 / numHashes) hex chars, so any numHashes in
+   * [1, 32] is accepted (non-divisors leave trailing hex chars unused —
+   * narrower slices only add verify-filtered collisions, see above). */
   def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 32,
+      s"numHashes must be in [1, 32] (md5 has 32 hex chars), got $numHashes")
     val w = 32 / numHashes
-    require(numHashes >= 1 && numHashes * w == 32,
-      s"numHashes must divide the 32 md5 hex chars, got $numHashes")
     // explode_outer, NOT explode: inner explode makes Catalyst infer
     // size(arr)>0 constraints that are pushed below the projection and
     // re-evaluate the whole shingle expression 3x per row at the scan
@@ -129,6 +147,8 @@ object Dedup {
    * bands × rowsPerBand = numHashes; a pair is a candidate iff it agrees
    * on ALL hashes of ≥1 band. Output: (key_a, key_b, jaccard) with
    * key_a < key_b and jaccard ≥ threshold, 4-dp rounded.
+   * bands × rowsPerBand may be any value in [1, 32] (see [[minhashLong]]
+   * for the hex-slice width rule when it does not divide 32).
    */
   def minhashLsh(df: DataFrame, key: String, text: String,
       bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
@@ -272,9 +292,17 @@ object Dedup {
    *
    * Document-frequency cap semantics (standard practice): intersection
    * counts only shingles with df ≤ cap while set sizes stay full, so the
-   * reported jaccard is a lower bound. */
+   * reported jaccard is a lower bound.
+   *
+   * The cap DEFAULTS to a finite 128: a hot shingle shared by D docs
+   * would otherwise materialize ~D²/2 pair structs inside ONE row (the
+   * in-row generation below) — a per-task OOM at corpus scale, not even
+   * a shuffle problem. With the cap, per-row work is bounded at cap²/2
+   * regardless of input size. Opting out (maxDocFreq = Int.MaxValue) is
+   * for small corpora only; route anything bigger to [[minhashLsh]]
+   * (SCALE.md: this operator is the exact-small-corpus path). */
   def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = 128): DataFrame = {
     val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
     val sizes = sets.select(col(key), size(col("sh")).cast("long").as("n"))

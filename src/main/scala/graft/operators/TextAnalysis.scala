@@ -59,7 +59,11 @@ object TextAnalysis {
     val hit =
       if (regex)
         col("line_text").rlike(if (caseInsensitive) "(?i)" + term else term)
-      else if (wholeWord) col("line_text").rlike("\\b" + java.util.regex.Pattern.quote(term) + "\\b")
+      else if (wholeWord)
+        // the reference compiles \b…\b WITH re.IGNORECASE when both flags
+        // are set (tools/search.py:52-54) — mirror it with (?i)
+        col("line_text").rlike((if (caseInsensitive) "(?i)" else "") +
+          "\\b" + java.util.regex.Pattern.quote(term) + "\\b")
       else if (caseInsensitive) lower(col("line_text")).contains(term.toLowerCase)
       else col("line_text").contains(term)
     val hits = lines.where(hit)

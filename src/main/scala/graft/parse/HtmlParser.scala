@@ -174,7 +174,6 @@ object HtmlParser {
 
     val rootIdx = out.length
     out += new Pending(0L, -1L, 0, "document", "", Nil, 0, n)
-    var rootOpen = new Open("", Nil, 0, rootIdx)
 
     def curParentIdx: Int = if (stack.isEmpty) rootIdx else stack.last.nodeIdx
     def curDepth: Int = stack.length + 1

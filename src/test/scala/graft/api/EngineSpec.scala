@@ -56,6 +56,11 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.findText(pages, "Entity").count() == 200)
     assert(Engine.findText(pages, "entity", caseInsensitive = true).count() >= 200)
     assert(Engine.findText(pages, "ntity", wholeWord = true).count() == 0)
+    // wholeWord + caseInsensitive combine (reference compiles \b…\b with
+    // re.IGNORECASE, tools/search.py:52-54)
+    assert(Engine.findText(pages, "entity", wholeWord = true).count() == 0)
+    assert(Engine.findText(pages, "entity", wholeWord = true,
+      caseInsensitive = true).count() == 200)
   }
 
   test("findText per-doc budget and analyzeCorpus composite") {
@@ -128,16 +133,18 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("nodesToDepth caps depth and marks truncated parents") {
+  test("nodesToDepth caps depth and marks cap-level nodes truncated") {
     val capped = Engine.nodesToDepth(pages, maxDepth = 2)
     assert(capped.where(col("depth") > 2).count() == 0)
-    // depth-3 nodes exist in the fixtures, so some depth-2 parents truncate
+    // reference parity (models/ast_cursor.py:123-126): EVERY node at the
+    // cap is truncated, leaf or not; nodes above the cap never are
+    assert(capped.where(col("truncated") =!= (col("depth") === 2)).count() == 0)
     val truncated = capped.where(col("truncated"))
     assert(truncated.count() > 0)
-    assert(truncated.where(col("depth") =!= 2).count() == 0) // only cap-level nodes truncate
-    // a truncated node really has children beyond the cap
+    // and some truncated node really has children beyond the cap
     val full = Engine.nodes(pages)
-    val t0 = truncated.select("url", "node_id").as[(String, Long)].first()
+    val t0 = truncated.where(col("children_count") > 0)
+      .select("url", "node_id").as[(String, Long)].first()
     assert(full.where(col("url") === t0._1 && col("parent_id") === t0._2).count() > 0)
   }
 
@@ -146,18 +153,20 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.write(yaml,
       """# engine config
         |security:
-        |  max_file_size_mb: 2
-        |  allowed_prefixes: "https://a.example/, https://b.example/"
-        |max_results: 42
+        |  max_file_size_mb: 2.5
+        |  allowed_prefixes: "https://a.example/#frag, https://b.example/"
+        |max_results: 42   # trailing comment
         |language:
         |  default_max_depth: 7
         |cache:
         |  enabled: true   # unknown section key: ignored
         |""".stripMargin.getBytes("UTF-8"))
     val fromY = EngineConfig.fromYaml(yaml.toString)
-    assert(fromY.maxFileSizeBytes == 2L * 1024 * 1024)
+    // fractional mb parses; '#' inside a value is literal (only
+    // whitespace-preceded '#' starts a comment)
+    assert(fromY.maxFileSizeBytes == (2.5 * 1024 * 1024).toLong)
     assert(fromY.maxResults == 42 && fromY.maxDepth == 7)
-    assert(fromY.allowedPrefixes == Seq("https://a.example/", "https://b.example/"))
+    assert(fromY.allowedPrefixes == Seq("https://a.example/#frag", "https://b.example/"))
     // explicit overrides yaml; session conf overrides both
     val explicit = fromY.copy(maxResults = 5)
     assert(EngineConfig.resolve(spark, explicit).maxResults == 5)
