@@ -98,6 +98,29 @@ object SparkEntry {
       |  FROM sums GROUP BY doc_id)
       |""".stripMargin
 
+  /** DuckDB mirror of the PagesFromDocs url derivation. */
+  private val UrlSql =
+    "('https://' || source || '.example/' || doc_id::VARCHAR || '.html')"
+
+  /** DuckDB mirror of the FULL PagesFromDocs html string (used by the
+   * gate/corpus-stats oracles, which need exact html byte lengths —
+   * text/source are pure ASCII in the driver tables, so char length =
+   * byte length). */
+  private val HtmlSql: String = {
+    import graft.sources.PagesFromDocs.{coordStrSql, latSql, lonSql}
+    val latS = coordStrSql(latSql("doc_id"))
+    val lonS = coordStrSql(lonSql("doc_id"))
+    val anchors = "(CASE WHEN doc_id % 3 > 0 THEN array_to_string(list_transform(" +
+      "generate_series(0, doc_id % 3 - 1), " +
+      "j -> '<a href=\"https://ex.com/' || doc_id::VARCHAR || '/' || j::VARCHAR || " +
+      "'\">l' || j::VARCHAR || '</a>'), '') ELSE '' END)"
+    val h2 = "(CASE WHEN doc_id % 2 = 0 THEN '<h2>s' || doc_id::VARCHAR || '</h2>' ELSE '' END)"
+    "('<!doctype html><html><head><title>Doc ' || doc_id::VARCHAR || '</title>' || " +
+      s"""'<meta name="geo.position" content="' || $latS || ';' || $lonS || '">' || """ +
+      "'</head><body><h1>' || source || '</h1>' || " + anchors + " || " + h2 + " || " +
+      "'<p>' || replace(replace(text, '&', '&amp;'), '<', '&lt;') || '</p></body></html>')"
+  }
+
   /** DuckDB mirror of TextAnalysis.shingles. */
   private def shinglesSql(text: String): String =
     s"list_sort(list_distinct(list_transform(" +
@@ -261,6 +284,84 @@ object SparkEntry {
       Similarity.kmeansIvfTopK(q, "q_vec", "embedding", e, "vec_id", "embedding",
         k = 5, kClusters = 8, iters = 2, nprobe = 2)
     }),
+
+    // ---- tool-facade round-out: every remaining SURVEY §2 operator gets an
+    // exact closed-form oracle over the PagesFromDocs fixture --------------
+    "q59_node_at_position" -> ((s, d) =>
+      // position (0, 35) sits inside the title text node of every fixture
+      // page; min-span containment must pick it (J3/T2)
+      graft.api.Engine.nodesAtPosition(PagesFromDocs(tbl(s, d, "documents")), row = 0, colPos = 35)
+        .select(col("url"), col("kind"), col("name"),
+          col("start_byte").cast("long").as("start_byte"),
+          col("end_byte").cast("long").as("end_byte"))),
+
+    "q60_exclude_within" -> ((s, d) =>
+      // range anti-join (P6/J4): drop nodes starting inside any <h1>
+      graft.api.Engine.excludeWithin(
+        graft.api.Engine.nodes(PagesFromDocs(tbl(s, d, "documents"))), "h1")
+        .groupBy("url").agg(count(lit(1)).as("n"))),
+
+    "q61_find_context" -> ((s, d) => {
+      // search hits with ±1 context lines (W1); a multi-line corpus is
+      // synthesized by turning token separators into newlines
+      val docs = tbl(s, d, "documents")
+      val df = docs.select(
+        concat(lit("https://"), col("source"), lit(".example/"), col("doc_id"), lit(".html")).as("url"),
+        regexp_replace(col("text"), " ", "\n").as("text"))
+      graft.api.Engine.findTextWithContext(df, "spark", context = 1)
+        .select(col("url"), col("line"), col("line_text"),
+          concat_ws("|", transform(col("context"),
+            c => concat_ws(":", c.getField("line"), c.getField("line_text")))).as("context_str"))
+    }),
+
+    "q62_find_usage" -> ((s, d) =>
+      graft.api.Engine.findUsage(PagesFromDocs(tbl(s, d, "documents")), "links", "l1")
+        .select("url", "capture", "text")),
+
+    "q63_sample_symbols" -> ((s, d) =>
+      // per-language sampling (A6/W3) feeding grouped symbol extraction (Q4)
+      graft.api.Engine.symbols(
+        graft.api.Engine.sampleByLang(PagesFromDocs(tbl(s, d, "documents")), 3))
+        .select(col("url"), col("symbol_type"),
+          size(col("symbols")).cast("long").as("n"),
+          concat_ws("|", transform(col("symbols"), x => x.getField("text"))).as("texts_str"))),
+
+    "q64_security_gate" -> ((s, d) =>
+      // size + url-prefix gate BEFORE parse (S6)
+      graft.api.Engine.securityGate(PagesFromDocs(tbl(s, d, "documents")),
+        maxBytes = 500, allowedPrefixes = Seq("https://src1"))
+        .select(col("url"), length(col("html")).cast("long").as("size_bytes"))),
+
+    "q65_summarize_nodes" -> ((s, d) =>
+      graft.api.Engine.summarizeNodes(PagesFromDocs(tbl(s, d, "documents")))
+        .where(col("name").isin("title", "h2"))
+        .select("url", "kind", "name", "preview")),
+
+    "q66_nodes_with_text" -> ((s, d) =>
+      // include_text surface (reference models/ast_cursor.py:95-119): raw
+      // node bytes attached per node; '|'-joined sorted per url (arrays of
+      // strings hash non-portably in the driver compare)
+      graft.api.Engine.nodesWithText(PagesFromDocs(tbl(s, d, "documents")))
+        .where(col("kind") === "text")
+        .groupBy("url")
+        .agg(count(lit(1)).as("n"),
+          concat_ws("|", array_sort(collect_list(col("node_text")))).as("texts_str"))),
+
+    "q67_node_types" -> ((s, d) => {
+      // describe_node_types (Q6): static kind docs joined to the corpus's
+      // observed kind histogram
+      import s.implicits._
+      val types = graft.api.Engine.nodeTypes.toSeq.toDF("kind", "description")
+      graft.api.Engine.nodes(PagesFromDocs(tbl(s, d, "documents")))
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+        .join(broadcast(types), "kind")
+        .select("kind", "description", "n")
+    }),
+
+    "q68_analyze_corpus" -> ((s, d) =>
+      graft.api.Engine.analyzeCorpus(PagesFromDocs(tbl(s, d, "documents")), sampleDepth = 3)
+        .select(col("n_pages"), col("n_sites"), col("total_bytes"),
+          col("languages"), col("sample_symbol_counts"))),
 
     // ---- similarity search ------------------------------------------------
     "q15_ann_brute" -> ((s, d) => {
@@ -855,6 +956,100 @@ object SparkEntry {
          |  ix * (360.0/128) - 180.0 AS lon_min, iy * (180.0/128) - 90.0 AS lat_min,
          |  (ix + 1) * (360.0/128) - 180.0 AS lon_max, (iy + 1) * (180.0/128) - 90.0 AS lat_max
          |FROM cnt""".stripMargin),
+
+    // fixture layout: '<!doctype html>'=15, '<html>'→21, '<head>'→27,
+    // '<title>'→34; the title text 'Doc {id}' spans [34, 38+len(id)) — the
+    // unique min-span node containing point (0, 35) on every page
+    "q59_node_at_position" ->
+      (s"SELECT $UrlSql AS url, 'text' AS kind, '' AS name, " +
+        "CAST(34 AS BIGINT) AS start_byte, " +
+        "CAST(38 + length(doc_id::VARCHAR) AS BIGINT) AS end_byte FROM documents"),
+
+    // per-page node count is 12 + 2*(anchors) + 2*(has_h2); excluding
+    // within <h1> drops exactly its one text child
+    "q60_exclude_within" ->
+      (s"SELECT $UrlSql AS url, CAST(11 + 2*(doc_id % 3) + " +
+        "2*(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM documents"),
+
+    "q61_find_context" ->
+      (s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ls FROM documents),
+         |u AS (SELECT doc_id, source, ls, len(ls) AS nl,
+         |  unnest(generate_series(1, len(ls))) AS i FROM t)
+         |SELECT $UrlSql AS url, CAST(i AS BIGINT) AS line, ls[i] AS line_text,
+         |  array_to_string(list_transform(generate_series(greatest(i-1, 1), least(i+1, nl)),
+         |    j -> j::VARCHAR || ':' || ls[j]), '|') AS context_str
+         |FROM u WHERE contains(ls[i], 'spark')""".stripMargin),
+
+    "q62_find_usage" ->
+      (s"SELECT $UrlSql AS url, 'link.text' AS capture, 'l1' AS text " +
+        "FROM documents WHERE doc_id % 3 = 2"),
+
+    "q63_sample_symbols" ->
+      (s"""WITH pages AS (SELECT doc_id, source, lang, $UrlSql AS url FROM documents),
+         |samp AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY url) AS rn
+         |  FROM pages) WHERE rn <= 3),
+         |rows_ AS (
+         |  SELECT url, 'title' AS symbol_type, ['Doc ' || doc_id::VARCHAR] AS texts FROM samp
+         |  UNION ALL
+         |  SELECT url, 'meta', [${PagesFromDocs.coordStrSql(PagesFromDocs.latSql("doc_id"))} || ';' ||
+         |    ${PagesFromDocs.coordStrSql(PagesFromDocs.lonSql("doc_id"))}] FROM samp
+         |  UNION ALL
+         |  SELECT url, 'heading', CASE WHEN doc_id % 2 = 0
+         |    THEN list_sort([source, 's' || doc_id::VARCHAR]) ELSE [source] END FROM samp
+         |  UNION ALL
+         |  SELECT url, 'link', list_sort(flatten(list_transform(generate_series(0, doc_id % 3 - 1),
+         |    j -> ['https://ex.com/' || doc_id::VARCHAR || '/' || j::VARCHAR, 'l' || j::VARCHAR])))
+         |  FROM samp WHERE doc_id % 3 > 0)
+         |SELECT url, symbol_type, CAST(len(texts) AS BIGINT) AS n,
+         |  array_to_string(texts, '|') AS texts_str FROM rows_""".stripMargin),
+
+    "q64_security_gate" ->
+      (s"""WITH h AS (SELECT $UrlSql AS url, $HtmlSql AS html_str FROM documents)
+         |SELECT url, CAST(length(html_str) AS BIGINT) AS size_bytes FROM h
+         |WHERE length(html_str) <= 500 AND url LIKE 'https://src1%'""".stripMargin),
+
+    "q65_summarize_nodes" ->
+      (s"""SELECT $UrlSql AS url, 'element' AS kind, 'title' AS name,
+         |  '<title>Doc ' || doc_id::VARCHAR || '</title>' AS preview FROM documents
+         |UNION ALL
+         |SELECT $UrlSql, 'element', 'h2', '<h2>s' || doc_id::VARCHAR || '</h2>'
+         |FROM documents WHERE doc_id % 2 = 0""".stripMargin),
+
+    "q66_nodes_with_text" ->
+      (s"""WITH t AS (SELECT $UrlSql AS url,
+         |  list_sort(['Doc ' || doc_id::VARCHAR, source,
+         |      replace(replace(text, '&', '&amp;'), '<', '&lt;')] ||
+         |    list_transform(generate_series(0, doc_id % 3 - 1), j -> 'l' || j::VARCHAR) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN ['s' || doc_id::VARCHAR]
+         |     ELSE CAST([] AS VARCHAR[]) END)) AS texts
+         |  FROM documents)
+         |SELECT url, CAST(len(texts) AS BIGINT) AS n,
+         |  array_to_string(texts, '|') AS texts_str FROM t""".stripMargin),
+
+    "q67_node_types" ->
+      ("""WITH c AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(7 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_el,
+        |  CAST(sum(3 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tx
+        |  FROM documents)
+        |SELECT 'document' AS kind, 'the root node spanning the whole byte stream' AS description, n_docs AS n FROM c
+        |UNION ALL SELECT 'doctype', 'a <! declaration', n_docs FROM c
+        |UNION ALL SELECT 'element', 'a tag with lowercased name, attributes, and children', n_el FROM c
+        |UNION ALL SELECT 'text', 'a raw text run (entity decoding happens at extraction)', n_tx FROM c""".stripMargin),
+
+    "q68_analyze_corpus" ->
+      (s"""WITH pages AS (SELECT doc_id, source, lang, $UrlSql AS url, $HtmlSql AS html_str FROM documents),
+         |samp AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY url) AS rn
+         |  FROM pages) WHERE rn <= 3),
+         |sc AS (SELECT array_to_string(list_sort(list_filter([
+         |    'heading:' || CAST(sum(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)::VARCHAR,
+         |    'link:' || CAST(sum(2 * (doc_id % 3)) AS BIGINT)::VARCHAR,
+         |    'meta:' || count(*)::VARCHAR,
+         |    'title:' || count(*)::VARCHAR], x -> x <> 'link:0')), ',') AS sample_symbol_counts FROM samp),
+         |lg AS (SELECT array_to_string(list_sort(list(lang || ':' || cnt::VARCHAR)), ',') AS languages
+         |  FROM (SELECT lang, count(*) AS cnt FROM pages GROUP BY lang)),
+         |tot AS (SELECT count(*) AS n_pages, count(DISTINCT source) AS n_sites,
+         |  CAST(sum(length(html_str)) AS BIGINT) AS total_bytes FROM pages)
+         |SELECT n_pages, n_sites, total_bytes, languages, sample_symbol_counts FROM tot, lg, sc""".stripMargin),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +

@@ -66,16 +66,40 @@ object Engine {
     nodes(pages).where(col("depth") <= maxDepth)
       .withColumn("truncated", col("depth") === maxDepth)
 
-  /** Most-specific node containing a point — interval join + min-span
-   * (find_node_at_position, models/ast.py:87-109). */
-  def nodeAtPosition(pages: DataFrame, url: String, row: Int, colPos: Int): DataFrame = {
-    val n = nodes(pages.where(col("url") === url))
+  /** Most-specific node containing a point, for EVERY page — the corpus
+   * form of find_node_at_position (models/ast.py:87-109: walk down, keep
+   * the smallest node whose [start, end) point range contains the
+   * target). One parse + a per-url min-span window; no self-join. */
+  def nodesAtPosition(pages: DataFrame, row: Int, colPos: Int): DataFrame = {
+    val contained = nodes(pages)
       .where((col("start_row") < row ||
         (col("start_row") === row && col("start_col") <= colPos)) &&
         (col("end_row") > row ||
           (col("end_row") === row && col("end_col") > colPos)))
-    n.orderBy((col("end_byte") - col("start_byte")).asc, col("depth").desc).limit(1)
+    val w = Window.partitionBy("url").orderBy(
+      (col("end_byte") - col("start_byte")).asc, col("depth").desc, col("start_byte").asc)
+    contained.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
   }
+
+  /** Single-url flavour (the reference tool's exact signature). */
+  def nodeAtPosition(pages: DataFrame, url: String, row: Int, colPos: Int): DataFrame =
+    nodesAtPosition(pages.where(col("url") === url), row, colPos)
+
+  /** Node table with the node's raw source text attached — the
+   * reference's include_text=True surface (tools/ast_operations.py:17-66
+   * passes include_text; models/ast_cursor.py:95-119 emits `text` per
+   * node from source_bytes[start:end] + late decode). Raw bytes of the
+   * node span, replace-decoded; entities NOT decoded (parity with the
+   * reference, which slices source bytes verbatim). */
+  def nodesWithText(pages: DataFrame): DataFrame =
+    pages.select(col("url"), col("html"), parse_html_nodes(col("html")).as(Seq(
+      "node_id", "parent_id", "depth", "kind", "name", "attrs",
+      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
+      "path", "children_count")))
+      .withColumn("node_text", utf8_decode_replace(
+        expr("substring(html, start_byte + 1, end_byte - start_byte)")))
+      .drop("html")
 
   /** Byte-identical extracted text per url (the north-rule invariant). */
   def extractText(pages: DataFrame): DataFrame =
