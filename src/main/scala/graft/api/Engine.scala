@@ -108,7 +108,9 @@ object Engine {
 
   // ---- structural queries (Q1-Q3, tools/search.py:139-349) --------------
 
-  /** Run a named extraction spec over the corpus (run_query). */
+  /** Run one or more named extraction specs over the corpus (run_query).
+   * `spec` may be comma-separated — all listed templates run over ONE
+   * parse per page (see [[graft.functions.ExtractCapturesExpr]]). */
   def query(pages: DataFrame, spec: String, captureFilter: Option[String] = None,
       maxResults: Option[Int] = None): DataFrame = {
     val caps = pages.select(col("url"), extract_captures(col("html"), spec).as(Seq(
@@ -119,9 +121,12 @@ object Engine {
   }
 
   /** Grouped symbol extraction (get_symbols, tools/analysis.py:22-261):
-   * capture category → list of (text, location) structs. */
+   * capture category → list of (text, location) structs. All specs run
+   * over ONE parse per page (comma-joined spec list) — the former
+   * per-spec union parsed every page once per spec, a 4× waste of the
+   * dominant pipeline stage. */
   def symbols(pages: DataFrame, specs: Seq[String] = Seq("headings", "links", "meta", "title")): DataFrame = {
-    val all = specs.map(sp => query(pages, sp)).reduce(_ union _)
+    val all = query(pages, specs.mkString(","))
     all.withColumn("symbol_type", split(col("capture"), "\\.").getItem(0))
       .groupBy("url", "symbol_type")
       .agg(sort_array(collect_list(struct(
@@ -269,7 +274,7 @@ object Engine {
    * (url, category). `targets_str` is the '|'-joined sorted set (portable
    * to a SQL oracle; arrays of strings hash non-portably). */
   def dependencies(pages: DataFrame): DataFrame = {
-    val caps = Seq("links", "images").map(sp => query(pages, sp)).reduce(_ union _)
+    val caps = query(pages, "links,images") // one parse per page, both specs
       .where(col("capture").isin("link.href", "image.src"))
     caps
       .withColumn("category",

@@ -198,26 +198,33 @@ object ParseHtmlNodesExpr {
     StructField("children_count", IntegerType, nullable = false)))
 }
 
-/** Capture rows for a named extraction spec (reference row shape:
- * tools/search.py:233-249; spec ≈ query template, SURVEY §2.8 Q1-Q3).
- * The spec is compiled/validated ONCE at plan time (driver), mirroring
- * the reference's compile-before-loop discipline (SURVEY §4). */
+/** Capture rows for one or more named extraction specs (reference row
+ * shape: tools/search.py:233-249; spec ≈ query template, SURVEY §2.8
+ * Q1-Q3). `spec` may be a comma-separated list ("headings,links,…"): the
+ * document is parsed ONCE and every listed template runs over the same
+ * parse — the multi-template analogue of the reference's get_symbols
+ * without one parse per template (parse dominates the pipeline cost).
+ * The spec list is compiled/validated ONCE at plan time (driver),
+ * mirroring the reference's compile-before-loop discipline (SURVEY §4). */
 case class ExtractCapturesExpr(html: Expression, spec: Expression)
     extends BinaryExpression with Generator with CodegenFallback {
   override def left: Expression = html
   override def right: Expression = spec
-  private lazy val specName: String = {
+  private lazy val specNames: Seq[String] = {
     require(spec.foldable, "extraction spec must be a literal (plan-time compiled)")
     val s = spec.eval(InternalRow.empty).asInstanceOf[UTF8String].toString
-    require(Extractor.SpecNames.contains(s),
-      s"unknown extraction spec '$s' (known: ${Extractor.SpecNames.mkString(", ")})")
-    s
+    val names = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "extraction spec list must name at least one spec")
+    names.foreach(n => require(Extractor.SpecNames.contains(n),
+      s"unknown extraction spec '$n' (known: ${Extractor.SpecNames.mkString(", ")})"))
+    names
   }
   override def elementSchema: StructType = ExtractCapturesExpr.schema
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val h = html.eval(input)
     if (h == null) return Nil
-    Extractor.captures(h.asInstanceOf[Array[Byte]], specName).map { c =>
+    val res = HtmlParser.parse(h.asInstanceOf[Array[Byte]])
+    Extractor.capturesMulti(res, specNames).map { c =>
       InternalRow(UTF8String.fromString(c.capture), UTF8String.fromString(c.text),
         c.startByte, c.endByte, c.startRow, c.startCol, c.endRow, c.endCol)
     }

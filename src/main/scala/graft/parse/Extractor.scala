@@ -192,20 +192,41 @@ object Extractor {
     captures(res, spec)
   }
 
+  /** Multi-spec extraction over ONE parse — the corpus hot path for
+   * symbol/dependency pipelines that need several templates per page
+   * (parse dominates their cost; a union of per-spec calls re-parses the
+   * page once per spec). Capture rows come out in spec order. */
+  def capturesMulti(res: HtmlParser.ParseResult, specs: Seq[String]): Seq[Capture] =
+    specs.flatMap(sp => captures(res, sp))
+
   private def cap(res: HtmlParser.ParseResult, n: HtmlNode, name: String, text: String) =
     Capture(name, text, n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol)
 
   /** Concatenated, entity-decoded text of a container element's direct and
    * nested text nodes (bounded by its byte range), excluding script/style
    * raw text — the same exclusion extractTextBytes applies (a nested
-   * <script> inside a captured element is code, not its text). */
+   * <script> inside a captured element is code, not its text).
+   *
+   * SUBTREE-LOCAL: nodes are emitted in document order (start bytes
+   * non-decreasing), so a binary search finds the element's position and
+   * the walk stops at its end byte — O(log n + subtree) per element, not
+   * O(n). The old full-scan form was quadratic on element-heavy pages
+   * (the links spec calls this once per `<a>`). */
   private def innerText(res: HtmlParser.ParseResult, el: HtmlNode,
       rawIds: Set[Long]): String = {
+    val nodes = res.nodes
+    var lo = 0; var hi = nodes.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (nodes(mid).startByte < el.startByte) lo = mid + 1 else hi = mid
+    }
     val out = new ByteArrayOutputStream(32)
-    res.nodes.foreach { nd =>
-      if (nd.kind == "text" && nd.startByte >= el.startByte && nd.endByte <= el.endByte &&
-          !rawIds.contains(nd.parentId))
+    var i = lo
+    while (i < nodes.length && nodes(i).startByte < el.endByte) {
+      val nd = nodes(i)
+      if (nd.kind == "text" && nd.endByte <= el.endByte && !rawIds.contains(nd.parentId))
         decodeEntitiesInto(res.source, nd.startByte, nd.endByte, out)
+      i += 1
     }
     Utf8.decodeReplace(out.toByteArray)
   }

@@ -65,4 +65,30 @@ class ExtractorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Extractor.captures(b("<p>x</p>"), "nope"))
     assert(e.getMessage.contains("links"))
   }
+
+  test("capturesMulti: one parse, union of per-spec captures in spec order") {
+    val html = b("""<title>t</title><h1>one</h1><a href="u">lnk</a><img src="i.png">""")
+    val res = HtmlParser.parse(html)
+    val multi = Extractor.capturesMulti(res, Seq("headings", "links", "title", "images"))
+    val singles = Seq("headings", "links", "title", "images")
+      .flatMap(sp => Extractor.captures(res, sp))
+    assert(multi == singles)
+    assert(multi.map(_.capture) ==
+      Seq("heading.h1", "link.href", "link.text", "title", "image.src"))
+  }
+
+  test("innerText stays subtree-local on wide pages") {
+    // 200 sibling anchors before and after the probed one: each link.text
+    // must be exactly its own label (a cross-subtree scan would leak
+    // neighbours' text); deep nesting inside one anchor is included
+    val many = (0 until 401).map {
+      case 200 => "<a href=\"h\"><b>mid<i>dle</i></b></a>"
+      case i   => s"<a>t$i</a>"
+    }.mkString
+    val caps = Extractor.captures(b(s"<body>$many</body>"), "links")
+    val texts = caps.filter(_.capture == "link.text").map(_.text)
+    assert(texts.length == 401)
+    assert(texts(200) == "middle")
+    assert(texts(0) == "t0" && texts(400) == "t400")
+  }
 }

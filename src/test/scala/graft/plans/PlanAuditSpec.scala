@@ -56,6 +56,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(lang".r.findAllIn(finalSection).size == 1, finalSection)
   }
 
+  test("symbols/dependencies run ONE parse generator per page (multi-spec)") {
+    // 4 specs (symbols) / 2 specs (dependencies) must NOT mean 4/2 parses:
+    // the comma-joined spec list runs every template over one parse, so
+    // exactly one Generate node appears in the plan (the former per-spec
+    // union had one per spec — a 4x of the dominant pipeline stage)
+    val pages = graft.sources.PagesFromDocs(docs)
+    Seq(graft.api.Engine.symbols(pages), graft.api.Engine.dependencies(pages)).foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val finalSection = plan.split("== Final Plan ==").last.split("== Initial Plan ==").head
+      assert("(?i)generate".r.findAllIn(finalSection).size == 1, finalSection)
+    }
+  }
+
   test("scalar cell expressions stay inside whole-stage codegen") {
     val df = customer.select(graft.functions.cell_id(
       (col("c_custkey") % 180 - 90).cast("double"),
