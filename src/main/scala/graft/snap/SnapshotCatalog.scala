@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
  * Layout:
  *   <root>/<table>/data/snap-<id>/…parquet      immutable data files
  *   <root>/<table>/manifest-<id>.json           snapshot metadata
+ *   <root>/<table>/lineage-<id>.json            that commit's lineage rows
  *   <root>/<table>/CURRENT                      file containing <id>
  *
  * Manifest records: snapshot id, parent id, completed work units
- * ("waves" — the resume key), per-file row counts, and per-partition
- * lineage rows (partition id, input/output rows, wall ms) — the north
- * rule's "per-partition lineage + metrics".
+ * ("waves" — the resume key), per-file row counts, and the list of
+ * lineage SIDECAR files. Per-partition lineage rows (partition id,
+ * input/output rows, wall ms — the north rule's "per-partition lineage +
+ * metrics") live one immutable sidecar per commit: inlining them made
+ * every manifest carry (and re-render) the FULL history —
+ * O(waves² · partitions) JSON bytes at 64 waves × real partition counts
+ * — where sidecars keep manifests O(waves) and each commit writes only
+ * its own rows.
  *
  * Commit protocol (SURVEY §7.4-3): write data files → write manifest to a
  * temp name → fsync-equivalent move → atomic rename CURRENT.tmp→CURRENT.
@@ -38,7 +44,7 @@ object SnapshotCatalog {
       completedWaves: Seq[Int],
       dataDirs: Seq[String],
       rowsPerWave: Map[Int, Long],
-      lineage: Seq[LineageRow])
+      lineageFiles: Seq[String])
 
   // ---- JSON (hand-rolled; no JSON dep in the offline sandbox) ------------
   private def q(s: String): String = "\"" + s.flatMap {
@@ -46,17 +52,25 @@ object SnapshotCatalog {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   } + "\""
 
-  private def render(m: Manifest): String = {
-    val lin = m.lineage.map(l =>
+  private def renderLineage(rows: Seq[LineageRow]): String =
+    rows.map(l =>
       s"""{"wave":${l.wave},"partition_id":${l.partitionId},"input_rows":${l.inputRows},""" +
         s""""output_rows":${l.outputRows},"wall_ms":${l.wallMs}}""").mkString("[", ",", "]")
+
+  private def parseLineage(s: String): Seq[LineageRow] =
+    ("""\{"wave":(\d+),"partition_id":(\d+),"input_rows":(\d+),""" +
+      """"output_rows":(\d+),"wall_ms":(\d+)\}""").r.findAllMatchIn(s)
+      .map(m => LineageRow(m.group(1).toInt, m.group(2).toInt,
+        m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)).toSeq
+
+  private def render(m: Manifest): String = {
     val rows = m.rowsPerWave.toSeq.sortBy(_._1)
       .map { case (w, n) => s"${q(w.toString)}: $n" }.mkString("{", ",", "}")
     s"""{"table":${q(m.table)},"snapshot_id":${m.snapshotId},"parent_id":${m.parentId},
        |"completed_waves":${m.completedWaves.sorted.mkString("[", ",", "]")},
        |"data_dirs":${m.dataDirs.map(q).mkString("[", ",", "]")},
        |"rows_per_wave":$rows,
-       |"lineage":$lin}""".stripMargin
+       |"lineage_files":${m.lineageFiles.map(q).mkString("[", ",", "]")}}""".stripMargin
   }
 
   // minimal parser for the fields we wrote (flat, no nested strings with
@@ -82,16 +96,9 @@ object SnapshotCatalog {
       "\"(\\d+)\":\\s*(\\d+)".r.findAllMatchIn(body)
         .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     }
-    def lineage: Seq[LineageRow] = {
-      val body = "\"lineage\":\\s*\\[(.*)\\]".r
-        .findFirstMatchIn(s.replace("\n", " ")).map(_.group(1)).getOrElse("")
-      ("""\{"wave":(\d+),"partition_id":(\d+),"input_rows":(\d+),""" +
-        """"output_rows":(\d+),"wall_ms":(\d+)\}""").r.findAllMatchIn(body)
-        .map(m => LineageRow(m.group(1).toInt, m.group(2).toInt,
-          m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)).toSeq
-    }
     Manifest(strField("table"), longField("snapshot_id"), longField("parent_id"),
-      intList("completed_waves"), strList("data_dirs"), rowsMap, lineage)
+      intList("completed_waves"), strList("data_dirs"), rowsMap,
+      strList("lineage_files"))
   }
 
   // ---- catalog ops --------------------------------------------------------
@@ -184,10 +191,29 @@ object SnapshotCatalog {
       "left_anti")
   }
 
+  /** All lineage rows visible from a manifest (read from its sidecars —
+   * immutable, so any historical snapshot's lineage stays readable). */
+  def lineageRows(root: String, m: Manifest): Seq[LineageRow] =
+    m.lineageFiles.flatMap { f =>
+      parseLineage(new String(Files.readAllBytes(tableDir(root, m.table).resolve(f)), "UTF-8"))
+    }
+
   /** Lineage rows of the CURRENT snapshot as a DataFrame. */
   def lineage(spark: SparkSession, root: String, table: String): DataFrame = {
     import spark.implicits._
-    currentManifest(root, table).map(_.lineage).getOrElse(Nil).toDF()
+    currentManifest(root, table).map(lineageRows(root, _)).getOrElse(Nil).toDF()
+  }
+
+  /** Write this commit's lineage sidecar; returns the manifest-relative
+   * file name (no file is written for an empty row set). */
+  private def writeLineageSidecar(root: String, table: String,
+      snapId: Long, rows: Seq[LineageRow]): Option[String] = {
+    if (rows.isEmpty) return None
+    val name = s"lineage-$snapId.json"
+    val dir = tableDir(root, table)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), renderLineage(rows).getBytes("UTF-8"))
+    Some(name)
   }
 
   /**
@@ -234,6 +260,7 @@ object SnapshotCatalog {
           .agg(count(lit(1)).as("n")).collect()
           .map(r => LineageRow(w, r.getInt(0), inRows, r.getLong(1), wallMs))
         val outRows = perPart.map(_.outputRows).sum
+        val linFile = writeLineageSidecar(root, table, snapId, perPart.toSeq)
         val m = Manifest(
           table = table,
           snapshotId = snapId,
@@ -241,7 +268,7 @@ object SnapshotCatalog {
           completedWaves = (prev.map(_.completedWaves).getOrElse(Nil) :+ w).sorted,
           dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir,
           rowsPerWave = prev.map(_.rowsPerWave).getOrElse(Map.empty) + (w -> outRows),
-          lineage = prev.map(_.lineage).getOrElse(Nil) ++ perPart)
+          lineageFiles = prev.map(_.lineageFiles).getOrElse(Nil) ++ linFile)
         commitManifest(root, table, m)
         ran += 1
       }
@@ -309,6 +336,7 @@ object SnapshotCatalog {
             inRows(s"in_$w").asInstanceOf[Long], r.getLong(1), wallMs))
       val prev = currentManifest(root, table)
       val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
+      val linFile = writeLineageSidecar(root, table, snapId, perPart.toSeq)
       val m = Manifest(
         table = table,
         snapshotId = snapId,
@@ -319,7 +347,7 @@ object SnapshotCatalog {
           else prev.map(_.dataDirs).getOrElse(Nil),
         rowsPerWave = prev.map(_.rowsPerWave).getOrElse(Map.empty) +
           (w -> perPart.map(_.outputRows).sum),
-        lineage = prev.map(_.lineage).getOrElse(Nil) ++ perPart)
+        lineageFiles = prev.map(_.lineageFiles).getOrElse(Nil) ++ linFile)
       commitManifest(root, table, m)
     }
     waves

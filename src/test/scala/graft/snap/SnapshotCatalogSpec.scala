@@ -75,9 +75,9 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val mB = SnapshotCatalog.currentManifest(rootB, "t").get
     assert(mA.rowsPerWave == mB.rowsPerWave)
     assert(mB.completedWaves == Seq(0, 1, 2, 3))
-    def inByWave(m: SnapshotCatalog.Manifest) =
-      m.lineage.map(l => l.wave -> l.inputRows).distinct.toMap
-    assert(inByWave(mA) == inByWave(mB))
+    def inByWave(root: String, m: SnapshotCatalog.Manifest) =
+      SnapshotCatalog.lineageRows(root, m).map(l => l.wave -> l.inputRows).distinct.toMap
+    assert(inByWave(rootA, mA) == inByWave(rootB, mB))
     // rerun is a no-op; partially-done tables fall back to per-wave
     assert(SnapshotCatalog.resumableRunSinglePass(spark, input, "url", 4, rootB, "t")(
       df => df.withColumn("out", col("v") * 2)) == 0)
@@ -109,5 +109,30 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val inByWave = lin.select("wave", "inputRows").distinct().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(inByWave == byWave)
+  }
+
+  test("lineage lives in per-commit sidecars; manifests stay O(waves)") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "t5")(identity[org.apache.spark.sql.DataFrame])
+    val dir = java.nio.file.Paths.get(root, "t5")
+    // one sidecar per commit, each holding ONLY its own wave's rows
+    val m = SnapshotCatalog.currentManifest(root, "t5").get
+    assert(m.lineageFiles == (0 to 3).map(i => s"lineage-$i.json"))
+    val perFileWaves = m.lineageFiles.map { f =>
+      val rows = SnapshotCatalog.lineageRows(root, m.copy(lineageFiles = Seq(f)))
+      rows.map(_.wave).distinct
+    }
+    assert(perFileWaves.forall(_.size == 1))
+    // no inline lineage rows in any manifest (the O(waves^2) shape)
+    (0 to 3).foreach { id =>
+      val txt = new String(Files.readAllBytes(dir.resolve(s"manifest-$id.json")), "UTF-8")
+      assert(!txt.contains("input_rows"), s"manifest-$id carries inline lineage")
+    }
+    // historical snapshots still expose their lineage prefix
+    val m1 = SnapshotCatalog.readAt(spark, root, "t5", 1L) // readable
+    assert(m1.count() > 0)
+    val hist = SnapshotCatalog.lineageRows(root,
+      m.copy(lineageFiles = Seq("lineage-0.json", "lineage-1.json")))
+    assert(hist.map(_.wave).distinct.sorted == Seq(0, 1))
   }
 }
