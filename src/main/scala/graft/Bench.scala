@@ -30,6 +30,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // per-query TopKByScore aggregates (ANN, kNN) have one group per
+      // query; the 128-group default flips ObjectHashAggregate to
+      // sort-based — see BenchPipeline for the measurement
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "50000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -63,7 +67,7 @@ object Bench {
     // pollutes the comparison (heap garbage + JIT state from earlier
     // sessions made local[32] look 3x slower than local[8]). The child
     // warms up internally; the parquet input is page-cache-warm for both.
-    def measure(cores: Int): Double = {
+    def measure(cores: Int, mode: String = "spatial"): Double = {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -83,7 +87,7 @@ object Bench {
       val pin = Seq("taskset", "-c", s"0-${cores.toInt - 1}")
       val cmd = pin ++ Seq(java, "-Xmx24g", "-Xmn12g", "-Dspark.ui.enabled=false") ++ opens ++ Seq(
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchPipeline", cores.toString, pagesPath, polysPath)
+        "graft.BenchPipeline", cores.toString, mode, pagesPath, polysPath)
       // DISCARD child stderr: Spark's INFO logging fills the 64 KiB pipe
       // and blocks the child mid-job (observed as a bogus 6x slowdown)
       val pb = new ProcessBuilder(cmd: _*)
@@ -119,12 +123,34 @@ object Bench {
     val tp4 = benchN / t4
     val tp16 = benchN / t16
 
-    // ---- per-query timings ------------------------------------------------
+    // second scaling regime: the iterative kNN loop (driver-synchronized
+    // rounds — the path whose fixed per-round cost could cap scaling);
+    // 2 interleaved rounds × internal min-of-2 = 4 draws per level
+    val knnRounds = (1 to 2).map { _ =>
+      val a = measure(4, "knn"); val b = measure(16, "knn")
+      (a, b, a / (b * 4.0))
+    }
+    val kT4 = knnRounds.map(_._1).min
+    val kT16 = knnRounds.map(_._2).min
+    val kEff = kT4 / (kT16 * 4.0)
+
+    // ---- per-query timings: min of 2 INTERLEAVED full passes -------------
+    // single draws are polluted by bursty host interference (r2 recorded
+    // two physically implausible numbers); interleaving the passes makes
+    // one burst unlikely to hit both draws of the same query, and min is
+    // the right estimator because interference only ever inflates
     val s = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to 2).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(s, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = names.indices.map { i =>
+      val name = passes.head(i)._1
+      name -> passes.map(_(i)._2).min
     }
     s.stop()
 
@@ -133,9 +159,13 @@ object Bench {
     val total = results.map(_._2).sum
     val roundsJson = rounds.map { case (a, b, e) =>
       s"""{"tN":${f(a)},"t4N":${f(b)},"eff":${f(e)}}""" }.mkString("[", ",", "]")
+    val knnRoundsJson = knnRounds.map { case (a, b, e) =>
+      s"""{"tN":${f(a)},"t4N":${f(b)},"eff":${f(e)}}""" }.mkString("[", ",", "]")
     val scaling = s"""{"n_cores":4,"n4_cores":16,"pN_pages_per_sec":${f(tp4)},"p4N_pages_per_sec":${f(tp16)},""" +
       s""""efficiency":${f(eff)},"bench_pages":$benchN,"tN_sec":${f(t4)},"t4N_sec":${f(t16)},""" +
       s""""rounds":$roundsJson}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    val scalingKnn = s"""{"n_cores":4,"n4_cores":16,"pipeline":"knn_iterative",""" +
+      s""""efficiency":${f(kEff)},"tN_sec":${f(kT4)},"t4N_sec":${f(kT16)},"rounds":$knnRoundsJson}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","q_draws":2,"queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_knn":$scalingKnn}""")
   }
 }

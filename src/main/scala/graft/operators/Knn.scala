@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.{cell_disk_band, cell_disk_bound, cell_id}
 import graft.geo.CellIndex
 
@@ -23,11 +24,19 @@ import graft.geo.CellIndex
  *   property-tested bound guaranteeing nothing outside ring r can beat the
  *   current top-k (CellIndexSpec "kNN bound").
  *
- * Scale notes: each round is one hash join + one windowed top-k, both
- * partitioned by query key; rounds needed ≈ target density, typically 1-3
- * when `res` is sized so a ring-1 disk holds ≳k targets. The accumulated
- * candidate set is capped at top-k per query per round to keep state
- * bounded (correct: dropped candidates can never re-enter the top-k).
+ * Scale notes: for integral target keys the per-round ranking runs as a
+ * [[TopKByScore]] ObjectHashAggregate — each map task ships at most k+1
+ * (score, key) pairs per query into the exchange, so the exchange carries
+ * O(open-queries) structs instead of every candidate row, and there is no
+ * full-candidate sort (a `row_number` window sorted candidate-cells ×
+ * target-density rows per round: measured 2× wall time and 0.49 N→4N
+ * scaling on the bench fixture — the sort spilled; the aggregate path
+ * doesn't). The same aggregate row carries the kth-distance + ring-bound
+ * resolution test, so each round is ONE shuffle. Non-integral keys fall
+ * back to the windowed form (same ordering contract). Rounds needed ≈
+ * target density, typically 1-3 when `res` is sized so a ring-1 disk
+ * holds ≳k targets. Accumulated state is capped at top-k per query per
+ * round (correct: dropped candidates can never re-enter the top-k).
  */
 object Knn {
 
@@ -53,6 +62,139 @@ object Knn {
       tKey: String, tLat: String, tLon: String,
       k: Int, res: Int, reliableCheckpoint: Boolean = false): DataFrame = {
     require(k >= 1)
+    targets.schema(tKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        applyAgg(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
+      case _ =>
+        applyWindowed(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
+    }
+  }
+
+  /** Sentinel candidate seeded per open query each round so queries whose
+   * disk holds no targets yet still surface in the aggregate (a plain
+   * groupBy would silently drop them). −∞ sorts strictly after every real
+   * score, so a sentinel only occupies a buffer slot when a query has
+   * < k real candidates — and then its kth distance is +∞, which can never
+   * pass the ring bound, so the done-test needs no special case. */
+  private val SentinelScore = Double.NegativeInfinity
+
+  /** Map-side partial top-k path (integral target keys). One shuffle per
+   * round: the TopKByScore hash aggregate, whose output row also carries
+   * the resolution test. Coordinates must be finite (±∞ would collide
+   * with the sentinel). */
+  private def applyAgg(
+      queries: DataFrame,
+      qKey: String, qLat: String, qLon: String,
+      targets: DataFrame,
+      tKey: String, tLat: String, tLon: String,
+      k: Int, res: Int, reliableCheckpoint: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val keyType = targets.schema(tKey).dataType
+    val maxRings = (1L << res).toInt
+
+    val tgt = targets.select(
+      col(tKey).cast(LongType).as("__tk64"), col(tLat).as("__tlat"), col(tLon).as("__tlon"))
+      .withColumn("__tcell", cell_id(col("__tlat"), col("__tlon"), res))
+      .persist()
+    tgt.count()
+
+    // score = −d² so TopKByScore's (score desc, key asc) order is
+    // (dist asc, key asc) — the exact window ordering it replaces
+    val negD2 = {
+      val dx = col("__tlon") - col("__qlon")
+      val dy = col("__tlat") - col("__qlat")
+      (-(dx * dx + dy * dy)).as("__score")
+    }
+
+    // rank = position in the sorted buffer; sentinels (if any) sort last,
+    // so filtering them leaves real ranks 1..n_real intact
+    def explodeTk(df: DataFrame): DataFrame =
+      df.select(col("__qkey"), col("__tk.scores").as("__ss"),
+          posexplode(col("__tk.keys")).as(Seq("__pos", "__tk64")))
+        .select(col("__qkey"), col("__tk64"),
+          (-element_at(col("__ss"), col("__pos") + 1)).as("dist_sq"),
+          (col("__pos") + 1).as("rank"))
+        .where(col("dist_sq") =!= lit(Double.PositiveInfinity))
+
+    var open: DataFrame = ckpt(queries.select(
+      col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon")))
+    val initialOpen = open // released once round 0's aggregate owns the state
+    var acc: DataFrame = null // exploded real candidates of open queries (≤k each)
+    // per-round aggregates: each round's finished/tail rows stay LAZY
+    // projections over that round's checkpointed aggregate (one eager job
+    // per round instead of two; blocks total ≤ ~2×|queries| structs since
+    // the open set shrinks geometrically, and they back the returned
+    // DataFrame — the ContextCleaner frees them when the result is
+    // garbage-collected, the same ownership as any checkpointed return)
+    val aggds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // geometric radius growth: bands [0,1], [2,4], [5,10], [11,22], … —
+    // log(maxRings) driver rounds instead of one per ring. The first band
+    // is the full disk-1 (not the lone [0,0] cell): res is sized so a
+    // disk-1 holds ≳k targets (suggestRes), and a query near a cell corner
+    // can have its NN in a diagonal neighbour — so [0,0] almost never
+    // passes the edge-distance bound and just costs one extra global sync
+    var lo = 0
+    var r = 0
+    while (lo <= maxRings && !open.isEmpty) {
+      r = if (lo == 0) math.min(1, maxRings) else math.min(lo * 2, maxRings)
+      val ringCells = open.select(
+        col("__qkey"), col("__qlat"), col("__qlon"),
+        cell_disk_band(cell_id(col("__qlat"), col("__qlon"), res), lit(lo), lit(r)).as("__cell"))
+      val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
+        .select(col("__qkey"), col("__qlat"), col("__qlon"), negD2, col("__tk64"))
+      val seed = open.select(col("__qkey"), col("__qlat"), col("__qlon"),
+        lit(SentinelScore).as("__score"), lit(Long.MinValue).as("__tk64"))
+      val all = (if (acc == null) cand else acc.union(cand)).union(seed)
+      // the aggregate row carries everything the round needs: the top-k
+      // buffer, the kth distance, and the ring-bound done-test.
+      // localCheckpoint: materialize AND truncate lineage — the plan would
+      // otherwise grow by one join+agg per round and blow up the optimizer
+      // (observed: explainString OOM)
+      val aggd = ckpt(all
+        .groupBy("__qkey", "__qlat", "__qlon")
+        .agg(TopKByScore.topK(k)(col("__score"), col("__tk64")).as("__tk"))
+        .withColumn("__done",
+          col("__tk.n") === k &&
+            -element_at(col("__tk.scores"), col("__tk.n")) <=
+              cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r))))
+      if (aggds.isEmpty) initialOpen.unpersist()
+      aggds += aggd
+      val stillOpen = aggd.where(!col("__done"))
+      open = stillOpen.select("__qkey", "__qlat", "__qlon")
+      acc = stillOpen
+        .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tk.scores").as("__ss"),
+          posexplode(col("__tk.keys")).as(Seq("__pos", "__tk64")))
+        .select(col("__qkey"), col("__qlat"), col("__qlon"),
+          element_at(col("__ss"), col("__pos") + 1).as("__score"), col("__tk64"))
+        .where(col("__score") =!= lit(SentinelScore))
+      lo = r + 1
+    }
+    tgt.unpersist()
+    if (aggds.isEmpty) { // zero rounds ran: the query set was empty
+      initialOpen.unpersist()
+      return queries.limit(0).select(col(qKey),
+        lit(null).cast(keyType).as(tKey), lit(0.0).as("dist_sq"), lit(0).as("rank"))
+    }
+    // every round's finished queries, plus whatever the final round left
+    // open (target table smaller than k, or grid exhausted — explodeTk of
+    // the WHOLE last aggregate covers both its done and its open rows)
+    val result0 = (aggds.init.map(a => explodeTk(a.where(col("__done"))))
+      :+ explodeTk(aggds.last)).reduce(_.union(_))
+    result0.select(
+      col("__qkey").as(qKey), col("__tk64").cast(keyType).as(tKey),
+      col("dist_sq"), col("rank"))
+  }
+
+  /** Windowed fallback for non-integral target keys (TopKBuf carries long
+   * keys). Same ordering contract; shuffles every candidate row. */
+  private def applyWindowed(
+      queries: DataFrame,
+      qKey: String, qLat: String, qLon: String,
+      targets: DataFrame,
+      tKey: String, tLat: String, tLon: String,
+      k: Int, res: Int, reliableCheckpoint: Boolean): DataFrame = {
     val spark = queries.sparkSession
     // both forms materialize eagerly AND truncate lineage (see loop note)
     def ckpt(df: DataFrame): DataFrame =
@@ -79,12 +221,16 @@ object Knn {
     var acc: DataFrame = null // accumulated top-k candidates of unresolved queries
     var accPersisted: DataFrame = null // the cached plan backing `acc`
     var out: DataFrame = null // finished queries
-    // geometric radius growth: bands [0,0], [1,2], [3,6], [7,14], … —
-    // log(maxRings) driver rounds instead of one per ring
+    // geometric radius growth: bands [0,1], [2,4], [5,10], [11,22], … —
+    // log(maxRings) driver rounds instead of one per ring. The first band
+    // is the full disk-1 (not the lone [0,0] cell): res is sized so a
+    // disk-1 holds ≳k targets (suggestRes), and a query near a cell corner
+    // can have its NN in a diagonal neighbour — so [0,0] almost never
+    // passes the edge-distance bound and just costs one extra global sync
     var lo = 0
     var r = 0 // band upper radius (inclusive), used in the bound
     while (lo <= maxRings && !unresolved.isEmpty) {
-      r = if (lo == 0) 0 else math.min(lo * 2, maxRings)
+      r = if (lo == 0) math.min(1, maxRings) else math.min(lo * 2, maxRings)
       val ringCells = unresolved.select(
         col("__qkey"), col("__qlat"), col("__qlon"),
         cell_disk_band(col("__qcell"), lit(lo), lit(r)).as("__cell"))

@@ -119,6 +119,45 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(local == reliable)
   }
 
+  test("kNN windowed fallback (string target keys) equals the aggregate path") {
+    val queries = pts.take(60).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
+      .toDF("qid", "lat", "lon")
+    val centroids = polys.map { p =>
+      val (cx, cy) = Geometry.vertexCentroid(p.ring)
+      (p.polygon_id, cy, cx)
+    }.toDF("tid", "tlat", "tlon")
+    val aggPath = Knn(queries, "qid", "lat", "lon", centroids, "tid", "tlat", "tlon", 3, res = 4)
+      .select("qid", "tid", "rank").as[(Long, Long, Int)].collect().toSet
+    // same targets with string keys whose lexical order equals the numeric
+    // order (zero-padded) → identical tie-breaks, different code path
+    val centroidsStr = centroids.select(
+      format_string("%06d", col("tid")).as("tid"), col("tlat"), col("tlon"))
+    val winPath = Knn(queries, "qid", "lat", "lon", centroidsStr, "tid", "tlat", "tlon", 3, res = 4)
+      .select("qid", "tid", "rank").as[(Long, String, Int)].collect()
+      .map { case (q, t, r) => (q, t.toLong, r) }.toSet
+    assert(aggPath == winPath)
+  }
+
+  test("kNN query in a target-empty region survives candidate-less rounds") {
+    // targets cluster near the origin; the far query's first disk bands
+    // hold no targets at res 5 (cells span ~5.6°), so its early aggregate
+    // rounds see only the sentinel — it must still resolve exactly
+    val queries = Seq((1L, 0.0, 0.0), (2L, 84.0, 179.0)).toDF("qid", "lat", "lon")
+    val targets = (0L until 20L).map(i => (i, (i % 5).toDouble - 2.0, (i / 5).toDouble - 2.0))
+      .toDF("tid", "tlat", "tlon")
+    val got = Knn(queries, "qid", "lat", "lon", targets, "tid", "tlat", "tlon", k = 3, res = 5)
+      .select("qid", "tid", "rank").as[(Long, Long, Int)].collect().toSet
+    val tgtSeq = (0L until 20L).map(i => (i, (i % 5).toDouble - 2.0, (i / 5).toDouble - 2.0))
+    val want = Seq((1L, 0.0, 0.0), (2L, 84.0, 179.0)).flatMap { case (qid, qlat, qlon) =>
+      tgtSeq.map { case (tid, tlat, tlon) =>
+        val (dx, dy) = (tlon - qlon, tlat - qlat)
+        (tid, dx * dx + dy * dy)
+      }.sortBy(t => (t._2, t._1)).take(3).zipWithIndex
+        .map { case ((tid, _), r) => (qid, tid, r + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("kNN with k larger than target count returns all targets") {
     val queries = Seq((1L, 0.0, 0.0)).toDF("qid", "lat", "lon")
     val targets = Seq((10L, 1.0, 1.0), (11L, 2.0, 2.0)).toDF("tid", "tlat", "tlon")
