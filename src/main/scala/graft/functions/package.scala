@@ -72,36 +72,32 @@ package object functions {
   def cell_cover(ring: Column, res: Int): Column =
     column(CellCoverExpr(expression(ring), expression(lit(res))))
 
+  /** SQL name → expression builder, the single source for both
+   * [[registerAll]] (live session) and `GraftExtensions.injectFunction`
+   * (builder-time registration for spark-submit deployments). */
+  private[graft] val sqlFunctionBuilders: Seq[
+      (String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "cell_id" -> (es => CellIdExpr(es(0), es(1), es(2))),
+    "cell_parent" -> (es => CellParentExpr(es(0), es(1))),
+    "cell_center_lat" -> (es => CellCenterLatExpr(es.head)),
+    "cell_center_lon" -> (es => CellCenterLonExpr(es.head)),
+    "point_in_polygon" -> (es => PointInPolygonExpr(es(0), es(1), es(2))),
+    "extract_text_bytes" -> (es => ExtractedTextExpr(es.head)),
+    "extract_text" -> (es => Utf8ReplaceDecodeExpr(ExtractedTextExpr(es.head))),
+    "utf8_decode_replace" -> (es => Utf8ReplaceDecodeExpr(es.head)),
+    "parse_html_nodes" -> (es => ParseHtmlNodesExpr(es.head)),
+    "extract_captures" -> (es => ExtractCapturesExpr(es(0), es(1))),
+    "extract_geo" -> (es => ExtractGeoEntitiesExpr(es.head)),
+    "cell_ring" -> (es => CellRingExpr(es(0), es(1))),
+    "cell_cover" -> (es => CellCoverExpr(es(0), es(1))),
+    "dot_product" -> (es => DotProductExpr(es(0), es(1))))
+
   /** Register SQL names so spark.sql can call the engine functions. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cell_id",
-      es => CellIdExpr(es(0), es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_parent",
-      es => CellParentExpr(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_center_lat",
-      es => CellCenterLatExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_center_lon",
-      es => CellCenterLonExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("point_in_polygon",
-      es => PointInPolygonExpr(es(0), es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("extract_text_bytes",
-      es => ExtractedTextExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("extract_text",
-      es => Utf8ReplaceDecodeExpr(ExtractedTextExpr(es.head)), "scala_udf")
-    reg.createOrReplaceTempFunction("utf8_decode_replace",
-      es => Utf8ReplaceDecodeExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("parse_html_nodes",
-      es => ParseHtmlNodesExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("extract_captures",
-      es => ExtractCapturesExpr(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("extract_geo",
-      es => ExtractGeoEntitiesExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_ring",
-      es => CellRingExpr(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_cover",
-      es => CellCoverExpr(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      es => DotProductExpr(es(0), es(1)), "scala_udf")
+    sqlFunctionBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -87,9 +87,19 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
 
 /** SparkSessionExtensions entry point:
  * `SparkSession.builder().withExtensions(new GraftExtensions)` — injects
- * the spatial-join rewrite and registers the engine's SQL functions. */
+ * the spatial-join rewrite and registers the engine's SQL functions
+ * (same inventory as `graft.functions.registerAll`, but at builder time,
+ * so a pure-SQL spark-submit job needs no Scala setup call). Also usable
+ * zero-code via `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+ * — Spark instantiates it reflectively; see README "Deploying". */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialJoinRule)
+    graft.functions.sqlFunctionBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
   }
 }

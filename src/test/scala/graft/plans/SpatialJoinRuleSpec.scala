@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{point_in_polygon, SparkTestSession}
 import graft.geo.Geometry
 import graft.sources.Fixtures
+import scala.jdk.CollectionConverters._
 
 class SpatialJoinRuleSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -67,6 +68,46 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRule)
     }
+  }
+
+  test("GraftExtensions wires the rule AND the SQL functions at builder time") {
+    // the deployment path: a session built with withExtensions (what
+    // `--conf spark.sql.extensions=graft.plans.GraftExtensions` does
+    // reflectively on spark-submit). Reuses the test SparkContext; the
+    // extensions are per-SESSION, so the shared SparkTestSession session
+    // must be cleared from the builder's view and restored after.
+    val base = spark // materialize the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = try {
+      SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+    assert(ext ne base) // a genuinely new session, not the cached one
+    // SQL functions resolve with zero setup calls
+    val cell = ext.sql("SELECT cell_id(52.52d, 13.405d, 8) AS c")
+      .collect().head.getLong(0)
+    assert(cell == graft.geo.CellIndex.latLonToCell(52.52, 13.405, 8))
+    // and the optimizer rule fires on a pure-SQL PIP theta-join (views
+    // must live in ext's own catalog — temp views are per-session)
+    ext.createDataFrame(ptsDf.collect().toSeq.asJava, ptsDf.schema)
+      .createOrReplaceTempView("pts_v")
+    ext.createDataFrame(polysDf.collect().toSeq.asJava, polysDf.schema)
+      .createOrReplaceTempView("polys_v")
+    val naive = ext.sql(
+      """SELECT page_id, entity_idx, polygon_id FROM pts_v
+        |JOIN polys_v ON point_in_polygon(lon, lat, ring)""".stripMargin)
+    val phys = naive.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"), phys)
+    val got = naive.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // do NOT ext.stop(): the SparkContext is shared with every other suite
   }
 
   test("resolution is configurable and result-invariant") {
