@@ -363,6 +363,13 @@ object SparkEntry {
         .select(col("n_pages"), col("n_sites"), col("total_bytes"),
           col("languages"), col("sample_symbol_counts"))),
 
+    "q69_composed_query" -> ((s, d) =>
+      // Q4 build_query compose: one COMPOSED spec string, ONE parse per
+      // page (tools/query_builder.py:16-78 'combine'); oracle = closed-form
+      // union of both templates' captures over the fixture
+      graft.api.Engine.query(PagesFromDocs(tbl(s, d, "documents")), "headings,links")
+        .select(col("url"), col("capture"), col("text"))),
+
     // ---- similarity search ------------------------------------------------
     "q15_ann_brute" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
@@ -1050,6 +1057,17 @@ object SparkEntry {
          |tot AS (SELECT count(*) AS n_pages, count(DISTINCT source) AS n_sites,
          |  CAST(sum(length(html_str)) AS BIGINT) AS total_bytes FROM pages)
          |SELECT n_pages, n_sites, total_bytes, languages, sample_symbol_counts FROM tot, lg, sc""".stripMargin),
+
+    "q69_composed_query" ->
+      (s"""SELECT $UrlSql AS url, 'heading.h1' AS capture, source AS text FROM documents
+         |UNION ALL
+         |SELECT $UrlSql, 'heading.h2', 's' || doc_id::VARCHAR FROM documents WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT $UrlSql, 'link.href', 'https://ex.com/' || doc_id::VARCHAR || '/' || j::VARCHAR
+         |  FROM documents, unnest(generate_series(0, doc_id % 3 - 1)) AS t(j) WHERE doc_id % 3 > 0
+         |UNION ALL
+         |SELECT $UrlSql, 'link.text', 'l' || j::VARCHAR
+         |  FROM documents, unnest(generate_series(0, doc_id % 3 - 1)) AS t(j) WHERE doc_id % 3 > 0""".stripMargin),
 
     "q40_window_rank_value" ->
       ("SELECT event_type, event_id, rnk, top_event FROM (" +
