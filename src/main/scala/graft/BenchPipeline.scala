@@ -94,9 +94,10 @@ object BenchPipeline {
       case other     => throw new IllegalArgumentException(s"unknown bench mode '$other'")
     }
     run() // warm-up: JIT + page cache
-    // min of 2 timed runs; the parent also runs two children per level and
-    // takes the min — 4 samples each side pick the steady-state mode of the
-    // bimodal host noise (observed 32s vs 52s draws at 4 cores)
+    // min of 2 timed runs; the parent draws additional children per level
+    // (asymmetrically — see Bench: more on the noisier 16-core side) and
+    // takes the min across all of a level's draws, picking the
+    // steady-state mode of the bursty host noise
     val times = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       run()

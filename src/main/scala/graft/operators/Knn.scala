@@ -53,7 +53,9 @@ object Knn {
    *        mid-iteration, so at 100× scale run with this on; local-mode
    *        tests and benches keep the cheap default.
    * @return (qKey, tKey, dist_sq, rank) — exactly k rows per query (fewer
-   *         iff the whole target table has < k rows)
+   *         iff the whole target table has < k rows). Candidates whose
+   *         distance is non-finite (NaN coordinates) are excluded — both
+   *         code paths share this semantic.
    */
   def apply(
       queries: DataFrame,
@@ -124,10 +126,9 @@ object Knn {
     var acc: DataFrame = null // exploded real candidates of open queries (≤k each)
     // per-round aggregates: each round's finished/tail rows stay LAZY
     // projections over that round's checkpointed aggregate (one eager job
-    // per round instead of two; blocks total ≤ ~2×|queries| structs since
-    // the open set shrinks geometrically, and they back the returned
-    // DataFrame — the ContextCleaner frees them when the result is
-    // garbage-collected, the same ownership as any checkpointed return)
+    // per round instead of two). All rounds' blocks are held until the
+    // final result checkpoint below, then released deterministically —
+    // holding time is the loop duration, not the result's lifetime
     val aggds = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // geometric radius growth: bands [0,1], [2,4], [5,10], [11,22], … —
     // log(maxRings) driver rounds instead of one per ring. The first band
@@ -142,8 +143,13 @@ object Knn {
       val ringCells = open.select(
         col("__qkey"), col("__qlat"), col("__qlon"),
         cell_disk_band(cell_id(col("__qlat"), col("__qlon"), res), lit(lo), lit(r)).as("__cell"))
+      // NaN-coordinate rows would sort as the BEST score in TopKByScore
+      // (Double.compare total order) but WORST in the windowed fallback's
+      // sort — exclude them outright so both paths share one defined
+      // semantic: candidates with a non-finite distance never rank
       val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
         .select(col("__qkey"), col("__qlat"), col("__qlon"), negD2, col("__tk64"))
+        .where(!isnan(col("__score")))
       val seed = open.select(col("__qkey"), col("__qlat"), col("__qlon"),
         lit(SentinelScore).as("__score"), lit(Long.MinValue).as("__tk64"))
       val all = (if (acc == null) cand else acc.union(cand)).union(seed)
@@ -182,7 +188,12 @@ object Knn {
     // the WHOLE last aggregate covers both its done and its open rows)
     val result0 = (aggds.init.map(a => explodeTk(a.where(col("__done"))))
       :+ explodeTk(aggds.last)).reduce(_.union(_))
-    result0.select(
+    // one final eager checkpoint compacts the result (≤ k·|queries| rows)
+    // so every per-round aggregate can be released NOW instead of riding
+    // along until the caller drops the result
+    val compact = ckpt(result0)
+    aggds.foreach(_.unpersist())
+    compact.select(
       col("__qkey").as(qKey), col("__tk64").cast(keyType).as(tKey),
       col("dist_sq"), col("rank"))
   }
@@ -236,6 +247,7 @@ object Knn {
         cell_disk_band(col("__qcell"), lit(lo), lit(r)).as("__cell"))
       val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
         .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tkey"), d2)
+        .where(!isnan(col("dist_sq"))) // same exclusion as the agg path
       val all = if (acc == null) cand else acc.union(cand)
       // keep only top-k per query (bounded state; disjoint rings → no dups)
       // localCheckpoint: materialize AND truncate lineage — the plan would

@@ -195,9 +195,16 @@ object Extractor {
   /** Multi-spec extraction over ONE parse — the corpus hot path for
    * symbol/dependency pipelines that need several templates per page
    * (parse dominates their cost; a union of per-spec calls re-parses the
-   * page once per spec). Capture rows come out in spec order. */
-  def capturesMulti(res: HtmlParser.ParseResult, specs: Seq[String]): Seq[Capture] =
-    specs.flatMap(sp => captures(res, sp))
+   * page once per spec). The element filter and script/style id set are
+   * also built ONCE and shared across specs (each is an O(nodes) pass).
+   * Capture rows come out in spec order. */
+  def capturesMulti(res: HtmlParser.ParseResult, specs: Seq[String]): Seq[Capture] = {
+    val out = new ArrayBuffer[Capture]
+    lazy val rawIds = rawTextIds(res) // memoized; built only if a spec needs innerText
+    val els = res.nodes.filter(_.kind == "element")
+    specs.foreach(sp => capturesInto(res, sp, els, () => rawIds, out))
+    out.toSeq
+  }
 
   private def cap(res: HtmlParser.ParseResult, n: HtmlNode, name: String, text: String) =
     Capture(name, text, n.startByte, n.endByte, n.startRow, n.startCol, n.endRow, n.endCol)
@@ -231,12 +238,13 @@ object Extractor {
     Utf8.decodeReplace(out.toByteArray)
   }
 
-  def captures(res: HtmlParser.ParseResult, spec: String): Seq[Capture] = {
-    val out = new ArrayBuffer[Capture]
-    lazy val rawIds = rawTextIds(res)
+  def captures(res: HtmlParser.ParseResult, spec: String): Seq[Capture] =
+    capturesMulti(res, Seq(spec))
+
+  private def capturesInto(res: HtmlParser.ParseResult, spec: String,
+      els: IndexedSeq[HtmlNode], rawIds: () => Set[Long], out: ArrayBuffer[Capture]): Unit = {
     def innerText(res2: HtmlParser.ParseResult, el: HtmlNode): String =
-      Extractor.innerText(res2, el, rawIds)
-    val els = res.nodes.filter(_.kind == "element")
+      Extractor.innerText(res2, el, rawIds())
     spec match {
       case "links" =>
         els.filter(_.name == "a").foreach { a =>
@@ -282,7 +290,6 @@ object Extractor {
         throw new IllegalArgumentException(
           s"unknown extraction spec '$other' (known: ${SpecNames.mkString(", ")})")
     }
-    out.toSeq
   }
 
   // ---------------------------------------------------------------------

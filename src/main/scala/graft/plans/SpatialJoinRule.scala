@@ -96,9 +96,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialJoinRule)
     graft.functions.sqlFunctionBuilders.foreach { case (name, builder) =>
+      // probe the builder for the concrete Expression class so DESCRIBE
+      // FUNCTION reports it (builders are total in arity ≤ 3 nulls)
+      val cls = try builder(Seq.fill(3)(Literal(null))).getClass.getName
+        catch { case _: Throwable => "graft.functions" }
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new ExpressionInfo("graft", name),
+        new ExpressionInfo(cls, name),
         builder))
     }
   }

@@ -93,6 +93,9 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     val cell = ext.sql("SELECT cell_id(52.52d, 13.405d, 8) AS c")
       .collect().head.getLong(0)
     assert(cell == graft.geo.CellIndex.latLonToCell(52.52, 13.405, 8))
+    // function metadata carries the real expression class
+    val desc = ext.sql("DESCRIBE FUNCTION cell_id").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("CellIdExpr"), desc)
     // and the optimizer rule fires on a pure-SQL PIP theta-join (views
     // must live in ext's own catalog — temp views are per-session)
     ext.createDataFrame(ptsDf.collect().toSeq.asJava, ptsDf.schema)
