@@ -533,6 +533,24 @@ object SparkEntry {
       Multimodal.imageMeta(Multimodal.syntheticMedia(s, 300)).toDF()
     }),
 
+    // ---- real codec-free media kernels: full encode→decode→stats loops
+    // oracle-checked against the closed-form pixel/sample functions ----
+    "q70_image_stats" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.rgbStats(Multimodal.syntheticPpm(s, 200, 16, 12)).toDF()
+    }),
+
+    "q71_image_resize_stats" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.rgbStats(
+        Multimodal.resizeNearest(Multimodal.syntheticPpm(s, 200, 16, 12), 8, 6)).toDF()
+    }),
+
+    "q72_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.audioStats(Multimodal.syntheticWav(s, 200, 8000, 1600)).toDF()
+    }),
+
     "q43_snapshot_lineage" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
       graft.snap.SnapshotCatalog.resumableRun(s, tbl(s, d, "documents"), "doc_id", 4, root, "docs") {
@@ -1057,6 +1075,29 @@ object SparkEntry {
          |tot AS (SELECT count(*) AS n_pages, count(DISTINCT source) AS n_sites,
          |  CAST(sum(length(html_str)) AS BIGINT) AS total_bytes FROM pages)
          |SELECT n_pages, n_sites, total_bytes, languages, sample_symbol_counts FROM tot, lg, sc""".stripMargin),
+
+    "q70_image_stats" ->
+      ("""SELECT k.k AS key, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+         |  CAST(SUM((3*k.k + 7*x.x + 13*y.y) % 256) AS BIGINT) AS sum_r,
+         |  CAST(SUM((5*k.k + 11*x.x + 17*y.y) % 256) AS BIGINT) AS sum_g,
+         |  CAST(SUM((7*k.k + 13*x.x + 19*y.y) % 256) AS BIGINT) AS sum_b
+         |FROM range(0, 200) k(k), range(0, 16) x(x), range(0, 12) y(y)
+         |GROUP BY k.k""".stripMargin),
+
+    "q71_image_resize_stats" ->
+      ("""SELECT k.k AS key, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+         |  CAST(SUM((3*k.k + 7*(2*x.x) + 13*(2*y.y)) % 256) AS BIGINT) AS sum_r,
+         |  CAST(SUM((5*k.k + 11*(2*x.x) + 17*(2*y.y)) % 256) AS BIGINT) AS sum_g,
+         |  CAST(SUM((7*k.k + 13*(2*x.x) + 19*(2*y.y)) % 256) AS BIGINT) AS sum_b
+         |FROM range(0, 200) k(k), range(0, 8) x(x), range(0, 6) y(y)
+         |GROUP BY k.k""".stripMargin),
+
+    "q72_audio_stats" ->
+      ("""SELECT k.k AS key, CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(1600 AS BIGINT) AS n_samples, CAST(200 AS BIGINT) AS duration_ms,
+         |  CAST(SUM(ABS(((31*k.k + 17*i.i) % 65536) - 32768)) AS BIGINT) AS sum_abs
+         |FROM range(0, 200) k(k), range(0, 1600) i(i)
+         |GROUP BY k.k""".stripMargin),
 
     "q69_composed_query" ->
       (s"""SELECT $UrlSql AS url, 'heading.h1' AS capture, source AS text FROM documents

@@ -93,4 +93,75 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     val top = graft.operators.Similarity.bruteTopK(q, "q_key", "vec", df, "key", "vec", k = 2)
     assert(top.count() == 6)
   }
+
+  test("PPM codec: encode/decode round-trip, header grammar, malformed rejection") {
+    val rgb = Array.tabulate(5 * 4 * 3)(i => (i * 7 % 256).toByte)
+    val enc = Multimodal.encodePpm(5, 4, rgb)
+    val Some((w, h, back)) = Multimodal.decodePpm(enc)
+    assert(w == 5 && h == 4 && back.toSeq == rgb.toSeq)
+    // netpbm header grammar: comments and arbitrary whitespace between tokens
+    val weird = ("P6\n# a comment\n  5 # widths\n\t4\r\n# more\n255\n").getBytes("US-ASCII") ++ rgb
+    val Some((w2, h2, back2)) = Multimodal.decodePpm(weird)
+    assert(w2 == 5 && h2 == 4 && back2.toSeq == rgb.toSeq)
+    // rejections: wrong magic, truncated raster, 16-bit maxval, zero dims
+    assert(Multimodal.decodePpm("P5\n5 4\n255\n".getBytes ++ rgb).isEmpty)
+    assert(Multimodal.decodePpm(enc.dropRight(1)).isEmpty)
+    assert(Multimodal.decodePpm("P6\n5 4\n65535\n".getBytes ++ rgb).isEmpty)
+    assert(Multimodal.decodePpm("P6\n0 4\n255\n".getBytes).isEmpty)
+  }
+
+  test("WAV codec: round-trip, chunk walking with odd padding, rejection") {
+    val samples = Array.tabulate(100)(i => ((i * 997) % 65536 - 32768).toShort)
+    val enc = Multimodal.encodeWavPcm16(8000, samples)
+    val Some((rate, back)) = Multimodal.decodeWavPcm16(enc)
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // a LIST chunk with odd size before fmt/data — walker must pad to even
+    val odd = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3)
+    val withChunk = enc.take(12) ++ odd ++ Array[Byte](0) ++ enc.drop(12)
+    // fix RIFF size field (12.. header + inserted 12 bytes)
+    val riffSz = withChunk.length - 8
+    withChunk(4) = (riffSz & 0xff).toByte; withChunk(5) = ((riffSz >> 8) & 0xff).toByte
+    withChunk(6) = ((riffSz >> 16) & 0xff).toByte; withChunk(7) = ((riffSz >> 24) & 0xff).toByte
+    val Some((rate2, back2)) = Multimodal.decodeWavPcm16(withChunk)
+    assert(rate2 == 8000 && back2.toSeq == samples.toSeq)
+    // rejections: stereo flag, truncated data, non-RIFF
+    assert(Multimodal.decodeWavPcm16(enc.dropRight(2)).isEmpty)
+    assert(Multimodal.decodeWavPcm16("nope".getBytes).isEmpty)
+  }
+
+  test("image pipeline: synthetic pixels → stats and resize match pure-Scala recompute") {
+    val imgs = Multimodal.syntheticPpm(spark, 20, 16, 12)
+    val stats = Multimodal.rgbStats(imgs).collect().map(s => s.key -> s).toMap
+    assert(stats.size == 20)
+    for (k <- 0L until 20L) {
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until 12; x <- 0 until 16) {
+        r += (3 * k + 7 * x + 13 * y) % 256
+        g += (5 * k + 11 * x + 17 * y) % 256
+        b += (7 * k + 13 * x + 19 * y) % 256
+      }
+      val s = stats(k)
+      assert(s.width == 16 && s.height == 12 && s.sum_r == r && s.sum_g == g && s.sum_b == b)
+    }
+    // nearest-neighbour resize: output pixel (x,y) = source pixel (2x, 2y)
+    val small = Multimodal.rgbStats(Multimodal.resizeNearest(imgs, 8, 6))
+      .collect().map(s => s.key -> s).toMap
+    for (k <- 0L until 20L) {
+      var r = 0L
+      for (y <- 0 until 6; x <- 0 until 8) r += (3 * k + 7 * (2 * x) + 13 * (2 * y)) % 256
+      assert(small(k).width == 8 && small(k).height == 6 && small(k).sum_r == r)
+    }
+  }
+
+  test("audio pipeline: synthetic samples → stats match pure-Scala recompute") {
+    val stats = Multimodal.audioStats(Multimodal.syntheticWav(spark, 10, 8000, 1600))
+      .collect().map(s => s.key -> s).toMap
+    assert(stats.size == 10)
+    for (k <- 0L until 10L) {
+      val sumAbs = (0 until 1600).map(i => math.abs((31 * k + 17 * i) % 65536 - 32768)).sum
+      val s = stats(k)
+      assert(s.sample_rate == 8000 && s.n_samples == 1600 &&
+        s.duration_ms == 200 && s.sum_abs == sumAbs)
+    }
+  }
 }
