@@ -216,6 +216,80 @@ object SnapshotCatalog {
     Some(name)
   }
 
+  /** What [[vacuum]] removed. */
+  final case class VacuumStats(manifests: Int, lineageFiles: Int, dataDirs: Int)
+
+  /**
+   * Storage hygiene (Iceberg expire-snapshots + remove-orphans analogue,
+   * from scratch): keep the newest `keepLast` manifests (always including
+   * CURRENT), delete older manifests and any lineage sidecar no kept
+   * manifest references, and delete DATA directories no kept manifest
+   * references. Because `dataDirs` accumulates down the manifest chain,
+   * data referenced by a kept snapshot is never touched — what actually
+   * gets reclaimed is ORPHANS: `data/snap-*` dirs written by a run that
+   * crashed before its commit, and `data/run-*` single-pass staging from
+   * a crashed pass (a full staged copy of every wave — the big leak at
+   * 100 TB). Time travel to expired snapshot ids stops working; kept ids
+   * (and their full lineage history) remain readable.
+   *
+   * Not safe concurrently with a writer on the SAME table (the writer may
+   * have staged data not yet committed) — same caveat as Iceberg's
+   * remove-orphans; run it between loads.
+   */
+  def vacuum(root: String, table: String, keepLast: Int = 2): VacuumStats = {
+    require(keepLast >= 1)
+    val dir = tableDir(root, table)
+    val current = currentSnapshotId(root, table)
+      .getOrElse(throw new IllegalStateException(s"no CURRENT snapshot for $table"))
+    val allIds = {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally stream.close()
+    }
+    val keptIds = (allIds.takeRight(keepLast) :+ current).distinct.toSet
+    val kept = keptIds.toSeq.map(id =>
+      parse(new String(Files.readAllBytes(dir.resolve(s"manifest-$id.json")), "UTF-8")))
+    val keptData = kept.flatMap(_.dataDirs).toSet
+    val keptLineage = kept.flatMap(_.lineageFiles).toSet
+
+    var mDel = 0; var lDel = 0; var dDel = 0
+    def rmTree(p: Path): Unit = {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally stream.close()
+    }
+    allIds.filterNot(keptIds).foreach { id =>
+      Files.delete(dir.resolve(s"manifest-$id.json")); mDel += 1
+      val lin = dir.resolve(s"lineage-$id.json")
+      if (Files.exists(lin) && !keptLineage.contains(s"lineage-$id.json")) {
+        Files.delete(lin); lDel += 1
+      }
+    }
+    val dataRoot = dir.resolve("data")
+    if (Files.isDirectory(dataRoot)) {
+      val top = { val s = Files.list(dataRoot); try s.iterator().asScala.toSeq finally s.close() }
+      top.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("snap-")) {
+          if (!keptData.contains(s"data/$name")) { rmTree(p); dDel += 1 }
+        } else if (name.startsWith("run-") && Files.isDirectory(p)) {
+          val kids = { val s = Files.list(p); try s.iterator().asScala.toSeq finally s.close() }
+          kids.filter(_.getFileName.toString.startsWith("__wave=")).foreach { k =>
+            if (!keptData.contains(s"data/$name/${k.getFileName}")) { rmTree(k); dDel += 1 }
+          }
+          val left = { val s = Files.list(p); try s.iterator().asScala.toSeq finally s.close() }
+          // staging root with no referenced wave dirs left → fully orphaned
+          if (!left.exists(_.getFileName.toString.startsWith("__wave="))) rmTree(p)
+        }
+      }
+    }
+    VacuumStats(mDel, lDel, dDel)
+  }
+
   /**
    * Resumable wave-partitioned run — the north rule's checkpoint/resume.
    *

@@ -111,6 +111,40 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(inByWave == byWave)
   }
 
+  test("vacuum keeps CURRENT + history depth, reclaims orphans, preserves data and lineage") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "t6")(
+      df => df.withColumn("out", col("v") + 1))
+    val dir = java.nio.file.Paths.get(root, "t6")
+    // plant orphans: an uncommitted snap dir and a crashed single-pass stage
+    Files.createDirectories(dir.resolve("data/snap-99"))
+    Files.write(dir.resolve("data/snap-99/part-0.parquet"), Array[Byte](1, 2))
+    Files.createDirectories(dir.resolve("data/run-777/__wave=0"))
+    Files.write(dir.resolve("data/run-777/__wave=0/p.parquet"), Array[Byte](3))
+    Files.write(dir.resolve("data/run-777/_SUCCESS"), Array.empty[Byte])
+
+    val before = SnapshotCatalog.read(spark, root, "t6").collect().toSet
+    val stats = SnapshotCatalog.vacuum(root, "t6", keepLast = 2)
+    // manifests 0,1 expired; snap-99 + run-777 stage reclaimed; committed
+    // data dirs are all referenced by the kept manifests → untouched
+    assert(stats.manifests == 2, stats)
+    assert(stats.dataDirs == 2, stats)
+    assert(!Files.exists(dir.resolve("data/snap-99")))
+    assert(!Files.exists(dir.resolve("data/run-777")))
+    assert(SnapshotCatalog.read(spark, root, "t6").collect().toSet == before)
+    // time travel: kept ids readable, expired ids gone
+    assert(SnapshotCatalog.readAt(spark, root, "t6", 3L).count() > 0)
+    assert(SnapshotCatalog.readAt(spark, root, "t6", 2L).count() > 0)
+    intercept[IllegalArgumentException](SnapshotCatalog.readAt(spark, root, "t6", 0L))
+    // full lineage history still visible from CURRENT (sidecars retained)
+    assert(SnapshotCatalog.lineage(spark, root, "t6")
+      .select("wave").distinct().count() == 4)
+    // resume bookkeeping unaffected: a rerun has nothing to do
+    val rerun = SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "t6")(
+      df => df.withColumn("out", col("v") + 1))
+    assert(rerun == 0)
+  }
+
   test("lineage lives in per-commit sidecars; manifests stay O(waves)") {
     val root = freshRoot()
     SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "t5")(identity[org.apache.spark.sql.DataFrame])
