@@ -302,6 +302,52 @@ object SnapshotCatalog {
    *
    * @return the number of waves actually executed this run
    */
+  /**
+   * Transform + write + commit ONE wave idempotently; returns false (and
+   * does nothing) when the wave is already in the CURRENT manifest.
+   * Shared by [[resumableRun]] (wave = deterministic hash bucket) and the
+   * streaming sink (`streaming/Ingest.snapshotSink`, wave = micro-batch
+   * id — Structured Streaming replays a failed batch with the SAME id,
+   * so this idempotence makes the sink commit exactly-once).
+   */
+  def commitWave(spark: SparkSession, waveIn: DataFrame, wave: Int,
+      root: String, table: String)(transform: DataFrame => DataFrame): Boolean = {
+    val done = currentManifest(root, table).map(_.completedWaves.toSet).getOrElse(Set.empty)
+    if (done.contains(wave)) return false
+    val t0 = System.nanoTime()
+    // observe(): the wave's input count rides the SAME job as the
+    // write below — no separate count() pass over the input. (At 64
+    // waves × 100 TB the old shape cost one extra full scan per wave.)
+    // Name is time-suffixed: Observation names must not repeat across
+    // the retries/streaming batches of one session.
+    val obs = org.apache.spark.sql.Observation(s"${table}_wave_${wave}_$t0")
+    val out = transform(waveIn.observe(obs, count(lit(1)).as("in_rows")))
+    val prev = currentManifest(root, table)
+    val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
+    val dataDir = s"data/snap-$snapId"
+    val target = tableDir(root, table).resolve(dataDir)
+    out.write.mode("overwrite").parquet(target.toString)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // per-partition lineage: group output by its physical partition
+    val inRows = obs.get("in_rows").asInstanceOf[Long]
+    val written = spark.read.parquet(target.toString)
+    val perPart = written.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => LineageRow(wave, r.getInt(0), inRows, r.getLong(1), wallMs))
+    val outRows = perPart.map(_.outputRows).sum
+    val linFile = writeLineageSidecar(root, table, snapId, perPart.toSeq)
+    val m = Manifest(
+      table = table,
+      snapshotId = snapId,
+      parentId = prev.map(_.snapshotId).getOrElse(-1L),
+      completedWaves = (prev.map(_.completedWaves).getOrElse(Nil) :+ wave).sorted,
+      dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir,
+      rowsPerWave = prev.map(_.rowsPerWave).getOrElse(Map.empty) + (wave -> outRows),
+      lineageFiles = prev.map(_.lineageFiles).getOrElse(Nil) ++ linFile)
+    commitManifest(root, table, m)
+    true
+  }
+
   def resumableRun(
       spark: SparkSession,
       input: DataFrame,
@@ -309,43 +355,10 @@ object SnapshotCatalog {
       waves: Int,
       root: String,
       table: String)(transform: DataFrame => DataFrame): Int = {
-    val done = currentManifest(root, table).map(_.completedWaves.toSet).getOrElse(Set.empty)
     var ran = 0
     (0 until waves).foreach { w =>
-      if (!done.contains(w)) {
-        val t0 = System.nanoTime()
-        // observe(): the wave's input count rides the SAME job as the
-        // write below — no separate count() pass over the input. (At 64
-        // waves × 100 TB the old shape cost one extra full scan per wave.)
-        val obs = org.apache.spark.sql.Observation(s"${table}_wave_$w")
-        val waveIn = input.where(pmod(xxhash64(col(keyCol)), lit(waves)) === w)
-          .observe(obs, count(lit(1)).as("in_rows"))
-        val out = transform(waveIn)
-        val prev = currentManifest(root, table)
-        val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
-        val dataDir = s"data/snap-$snapId"
-        val target = tableDir(root, table).resolve(dataDir)
-        out.write.mode("overwrite").parquet(target.toString)
-        val wallMs = (System.nanoTime() - t0) / 1000000
-        // per-partition lineage: group output by its physical partition
-        val inRows = obs.get("in_rows").asInstanceOf[Long]
-        val written = spark.read.parquet(target.toString)
-        val perPart = written.groupBy(spark_partition_id().as("pid"))
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => LineageRow(w, r.getInt(0), inRows, r.getLong(1), wallMs))
-        val outRows = perPart.map(_.outputRows).sum
-        val linFile = writeLineageSidecar(root, table, snapId, perPart.toSeq)
-        val m = Manifest(
-          table = table,
-          snapshotId = snapId,
-          parentId = prev.map(_.snapshotId).getOrElse(-1L),
-          completedWaves = (prev.map(_.completedWaves).getOrElse(Nil) :+ w).sorted,
-          dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir,
-          rowsPerWave = prev.map(_.rowsPerWave).getOrElse(Map.empty) + (w -> outRows),
-          lineageFiles = prev.map(_.lineageFiles).getOrElse(Nil) ++ linFile)
-        commitManifest(root, table, m)
-        ran += 1
-      }
+      val waveIn = input.where(pmod(xxhash64(col(keyCol)), lit(waves)) === w)
+      if (commitWave(spark, waveIn, w, root, table)(transform)) ran += 1
     }
     ran
   }

@@ -56,6 +56,32 @@ object Ingest {
       .dropDuplicatesWithinWatermark("digest")
       .select("url", "warc_ts", "digest")
 
+  /**
+   * Streaming → snapshot-table sink: every micro-batch commits as ONE
+   * snapshot wave (wave id = batch id) via
+   * [[graft.snap.SnapshotCatalog.commitWave]]. End-to-end exactly-once:
+   * the stream's checkpoint replays a failed batch with the SAME id, and
+   * commitWave is idempotent per wave id, so a replayed batch is a no-op
+   * — the classic idempotent-sink construction. The committed table gets
+   * the full snapshot surface: time travel, per-batch lineage rows,
+   * `vacuum`.
+   *
+   * Caller starts it:
+   * {{{
+   * Ingest.snapshotSink(df, root, "pages_clean")(_.select(...))
+   *   .option("checkpointLocation", ckpt)
+   *   .trigger(Trigger.AvailableNow()).start()
+   * }}}
+   */
+  def snapshotSink(stream: DataFrame, root: String, table: String)(
+      transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      require(batchId <= Int.MaxValue, s"batch id $batchId exceeds wave id range")
+      graft.snap.SnapshotCatalog.commitWave(
+        batch.sparkSession, batch.toDF(), batchId.toInt, root, table)(transform)
+      ()
+    }
+
   /** Per-user running totals via `mapGroupsWithState` (custom keyed state;
    * Update output mode). Cents are exact integers, mirroring the batch
    * discipline, so the final state equals the batch groupBy exactly. */

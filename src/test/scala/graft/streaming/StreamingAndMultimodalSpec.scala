@@ -35,6 +35,43 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     if (!got.isNullAt(0)) assert(got.getLong(0) <= total)
   }
 
+  test("snapshotSink commits micro-batches as snapshot waves, exactly once") {
+    val dir = Files.createTempDirectory("graft_sink_in").toString
+    val root = Files.createTempDirectory("graft_sink_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ck").toString
+    Fixtures.pages(spark, 200, partitions = 4).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(Ingest.PagesSchema).parquet(dir)
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("url"), length(col("html")).cast("long").as("html_len"))
+    val q = Ingest.snapshotSink(stream, root, "pages_len")(transform)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the committed snapshot table equals the batch equivalent
+    val got = graft.snap.SnapshotCatalog.read(spark, root, "pages_len")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = transform(spark.read.parquet(dir))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && want.size == 200)
+    // lineage rows exist per batch; wave ids are the batch ids
+    val m = graft.snap.SnapshotCatalog.currentManifest(root, "pages_len").get
+    assert(m.completedWaves.nonEmpty)
+    // replaying the SAME batch id (the crash-recovery path) is a no-op
+    val replayed = graft.snap.SnapshotCatalog.commitWave(
+      spark, spark.read.parquet(dir), m.completedWaves.head, root, "pages_len")(transform)
+    assert(!replayed)
+    assert(graft.snap.SnapshotCatalog.read(spark, root, "pages_len").count() == 200)
+    // restarting the stream over the same checkpoint finds no new data
+    val q2 = Ingest.snapshotSink(
+        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "pages_len")(transform)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(graft.snap.SnapshotCatalog.currentManifest(root, "pages_len").get
+      .completedWaves == m.completedWaves)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     val base = Fixtures.pages(spark, 50, partitions = 2).toDF()
