@@ -150,11 +150,12 @@ object Knn {
         cell_disk_band(cell_id(col("__qlat"), col("__qlon"), res), lit(lo), lit(r)).as("__cell"))
       // NaN-coordinate rows would sort as the BEST score in TopKByScore
       // (Double.compare total order) but WORST in the windowed fallback's
-      // sort — exclude them outright so both paths share one defined
-      // semantic: candidates with a non-finite distance never rank
+      // sort, and a +Inf distance would collide with the sentinel —
+      // exclude every non-finite distance outright so both paths share
+      // one defined semantic: such candidates never rank
       val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
         .select(col("__qkey"), col("__qlat"), col("__qlon"), negD2, col("__tk64"))
-        .where(!isnan(col("__score")))
+        .where(!isnan(col("__score")) && col("__score") =!= lit(Double.NegativeInfinity))
       val seed = open.select(col("__qkey"), col("__qlat"), col("__qlon"),
         lit(SentinelScore).as("__score"), lit(Long.MinValue).as("__tk64"))
       val all = (if (acc == null) cand else acc.union(cand)).union(seed)
@@ -247,7 +248,8 @@ object Knn {
         cell_disk_band(col("__qcell"), lit(lo), lit(r)).as("__cell"))
       val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
         .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tkey"), d2)
-        .where(!isnan(col("dist_sq"))) // same exclusion as the agg path
+        .where(!isnan(col("dist_sq")) && // same exclusion as the agg path
+          col("dist_sq") =!= lit(Double.PositiveInfinity))
       val all = if (acc == null) cand else acc.union(cand)
       // keep only top-k per query (bounded state; disjoint rings → no dups)
       // localCheckpoint: materialize AND truncate lineage — the plan would

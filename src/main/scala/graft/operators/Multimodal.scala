@@ -93,7 +93,7 @@ object Multimodal {
       // exactly one whitespace byte separates maxval from the raster
       if i < payload.length && payload(i).toChar.isWhitespace
       start = i + 1
-      if payload.length - start == w * h * 3
+      if (payload.length - start).toLong == w.toLong * h * 3 // Long: w*h*3 can wrap Int
     } yield (w, h, java.util.Arrays.copyOfRange(payload, start, payload.length))
   }
 
@@ -185,7 +185,7 @@ object Multimodal {
     while (i + 8 <= payload.length) {
       val id = new String(payload, i, 4, "US-ASCII")
       val sz = rdLe32(payload, i + 4)
-      if (sz < 0 || i + 8 + sz > payload.length) return None
+      if (sz < 0 || i.toLong + 8L + sz > payload.length) return None // Long: sz near 2^31 wraps
       if (id == "fmt ") {
         if (sz < 16) return None
         val fmt = rdLe16(payload, i + 8)

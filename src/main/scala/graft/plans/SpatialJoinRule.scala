@@ -99,7 +99,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       // probe the builder for the concrete Expression class so DESCRIBE
       // FUNCTION reports it (builders are total in arity ≤ 3 nulls)
       val cls = try builder(Seq.fill(3)(Literal(null))).getClass.getName
-        catch { case _: Throwable => "graft.functions" }
+        catch { case scala.util.control.NonFatal(_) => "graft.functions" }
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new ExpressionInfo(cls, name),

@@ -123,12 +123,14 @@ object SnapshotCatalog {
    * tools/registration.py:124-133). Idempotent. */
   def dropTable(root: String, table: String): Unit = {
     val dir = tableDir(root, table)
-    if (Files.exists(dir)) {
-      val stream = Files.walk(dir)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally stream.close()
-    }
+    if (Files.exists(dir)) deleteTree(dir)
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val stream = Files.walk(p)
+    try stream.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally stream.close()
   }
 
   def currentSnapshotId(root: String, table: String): Option[Long] = {
@@ -256,34 +258,40 @@ object SnapshotCatalog {
     val keptLineage = kept.flatMap(_.lineageFiles).toSet
 
     var mDel = 0; var lDel = 0; var dDel = 0
-    def rmTree(p: Path): Unit = {
-      val stream = Files.walk(p)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally stream.close()
-    }
     allIds.filterNot(keptIds).foreach { id =>
       Files.delete(dir.resolve(s"manifest-$id.json")); mDel += 1
-      val lin = dir.resolve(s"lineage-$id.json")
-      if (Files.exists(lin) && !keptLineage.contains(s"lineage-$id.json")) {
-        Files.delete(lin); lDel += 1
-      }
     }
+    // lineage sidecars no kept manifest references: since lineageFiles
+    // accumulates down the chain, these can only be ORPHANS — a sidecar
+    // written by a commit that crashed before its manifest rename
+    val linOrphans = {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("lineage-") && n.endsWith(".json") &&
+          !keptLineage.contains(n)).toSeq
+      finally stream.close()
+    }
+    linOrphans.foreach { n => Files.delete(dir.resolve(n)); lDel += 1 }
     val dataRoot = dir.resolve("data")
     if (Files.isDirectory(dataRoot)) {
       val top = { val s = Files.list(dataRoot); try s.iterator().asScala.toSeq finally s.close() }
       top.foreach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("snap-")) {
-          if (!keptData.contains(s"data/$name")) { rmTree(p); dDel += 1 }
+          if (!keptData.contains(s"data/$name")) { deleteTree(p); dDel += 1 }
         } else if (name.startsWith("run-") && Files.isDirectory(p)) {
           val kids = { val s = Files.list(p); try s.iterator().asScala.toSeq finally s.close() }
-          kids.filter(_.getFileName.toString.startsWith("__wave=")).foreach { k =>
-            if (!keptData.contains(s"data/$name/${k.getFileName}")) { rmTree(k); dDel += 1 }
+          val waveKids = kids.filter(_.getFileName.toString.startsWith("__wave="))
+          waveKids.foreach { k =>
+            if (!keptData.contains(s"data/$name/${k.getFileName}")) { deleteTree(k); dDel += 1 }
           }
           val left = { val s = Files.list(p); try s.iterator().asScala.toSeq finally s.close() }
-          // staging root with no referenced wave dirs left → fully orphaned
-          if (!left.exists(_.getFileName.toString.startsWith("__wave="))) rmTree(p)
+          // staging root with no referenced wave dirs left → fully orphaned;
+          // count it as a reclaimed dir only if no wave child was counted
+          if (!left.exists(_.getFileName.toString.startsWith("__wave="))) {
+            deleteTree(p)
+            if (waveKids.isEmpty) dDel += 1
+          }
         }
       }
     }
@@ -312,8 +320,8 @@ object SnapshotCatalog {
    */
   def commitWave(spark: SparkSession, waveIn: DataFrame, wave: Int,
       root: String, table: String)(transform: DataFrame => DataFrame): Boolean = {
-    val done = currentManifest(root, table).map(_.completedWaves.toSet).getOrElse(Set.empty)
-    if (done.contains(wave)) return false
+    val prev = currentManifest(root, table)
+    if (prev.exists(_.completedWaves.contains(wave))) return false
     val t0 = System.nanoTime()
     // observe(): the wave's input count rides the SAME job as the
     // write below — no separate count() pass over the input. (At 64
@@ -322,7 +330,6 @@ object SnapshotCatalog {
     // the retries/streaming batches of one session.
     val obs = org.apache.spark.sql.Observation(s"${table}_wave_${wave}_$t0")
     val out = transform(waveIn.observe(obs, count(lit(1)).as("in_rows")))
-    val prev = currentManifest(root, table)
     val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
     val dataDir = s"data/snap-$snapId"
     val target = tableDir(root, table).resolve(dataDir)

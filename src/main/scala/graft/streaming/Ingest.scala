@@ -77,8 +77,35 @@ object Ingest {
       transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       require(batchId <= Int.MaxValue, s"batch id $batchId exceeds wave id range")
-      graft.snap.SnapshotCatalog.commitWave(
+      import graft.snap.SnapshotCatalog
+      // a table previously written by a BATCH run would alias its wave ids
+      // with our batch ids — committing would silently drop micro-batches
+      // (commitWave no-ops on a committed id). A marker file pins the
+      // table to this sink; anything else is a configuration error.
+      val marker = java.nio.file.Paths.get(root, table, "STREAMING_SINK")
+      val hasCurrent = SnapshotCatalog.currentSnapshotId(root, table).isDefined
+      if (hasCurrent && !java.nio.file.Files.exists(marker))
+        throw new IllegalStateException(
+          s"table '$table' was not written by snapshotSink: batch-run wave ids " +
+            "would collide with micro-batch ids (write to a fresh table)")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, Array.empty[Byte])
+      }
+      val committed = SnapshotCatalog.commitWave(
         batch.sparkSession, batch.toDF(), batchId.toInt, root, table)(transform)
+      if (!committed) {
+        // only the LATEST committed wave can be a genuine streaming replay
+        // (batch ids are monotone and commit in order); any other id means
+        // this checkpoint does not own the table — fail instead of losing
+        // the batch silently (e.g. a FRESH checkpoint over an old table
+        // restarts ids at 0)
+        val maxWave = SnapshotCatalog.currentManifest(root, table)
+          .map(_.completedWaves.max).getOrElse(-1)
+        require(batchId.toInt == maxWave,
+          s"batch $batchId already committed but is not the latest wave " +
+            s"($maxWave) — stale/foreign checkpoint for table '$table'")
+      }
       ()
     }
 

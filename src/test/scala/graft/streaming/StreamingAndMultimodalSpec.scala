@@ -72,6 +72,26 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       .completedWaves == m.completedWaves)
   }
 
+  test("snapshotSink refuses a table whose waves were written by a batch run") {
+    val dir = Files.createTempDirectory("graft_sink_in2").toString
+    val root = Files.createTempDirectory("graft_sink_tbl2").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ck2").toString
+    Fixtures.pages(spark, 50, partitions = 2).toDF()
+      .write.mode("overwrite").parquet(dir)
+    // table pre-populated by a BATCH run: wave ids 0..1 already committed
+    graft.snap.SnapshotCatalog.resumableRun(
+      spark, spark.read.parquet(dir), "url", waves = 2, root, "t_batch")(identity)
+    val q = Ingest.snapshotSink(
+        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "t_batch")(identity)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q.awaitTermination())
+    assert(e.getMessage.contains("snapshotSink") ||
+      Option(e.getCause).exists(_.getMessage.contains("snapshotSink")), e.getMessage)
+    // the pre-existing batch table is untouched
+    assert(graft.snap.SnapshotCatalog.read(spark, root, "t_batch").count() == 50)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     val base = Fixtures.pages(spark, 50, partitions = 2).toDF()
@@ -145,6 +165,8 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm(enc.dropRight(1)).isEmpty)
     assert(Multimodal.decodePpm("P6\n5 4\n65535\n".getBytes ++ rgb).isEmpty)
     assert(Multimodal.decodePpm("P6\n0 4\n255\n".getBytes).isEmpty)
+    // Int-overflow header: 715827883*2*3 wraps to 2 — must NOT decode
+    assert(Multimodal.decodePpm("P6\n715827883 2\n255\n".getBytes ++ Array[Byte](1, 2)).isEmpty)
   }
 
   test("WAV codec: round-trip, chunk walking with odd padding, rejection") {
@@ -164,6 +186,10 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     // rejections: stereo flag, truncated data, non-RIFF
     assert(Multimodal.decodeWavPcm16(enc.dropRight(2)).isEmpty)
     assert(Multimodal.decodeWavPcm16("nope".getBytes).isEmpty)
+    // Int-overflow chunk size (~2^31): bound check must not wrap
+    val evil = enc.take(12) ++ Array[Byte]('J', 'U', 'N', 'K',
+      0xf4.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(Multimodal.decodeWavPcm16(evil).isEmpty)
   }
 
   test("image pipeline: synthetic pixels → stats and resize match pure-Scala recompute") {
