@@ -111,14 +111,16 @@ object Bench {
     // run because interference flipped between the 4- and 16-core child).
     // Interference can only ever INFLATE a child's time, so the capability
     // estimate is the classic min-time one: the LEAST-INTERFERED draw of
-    // EACH level across four interleaved rounds, each internally min-of-2.
+    // EACH level across three interleaved rounds, each internally min-of-2.
     // The draw count is ASYMMETRIC — two 16-core children per round vs one
     // 4-core: the 4-core floor reproduces to ±0.5% across sessions (it
     // under-uses the host, so bursts usually land elsewhere), while the
     // wide child absorbs every burst and its draws float 6.9-8.2 s; extra
     // draws on the noisy side cost ~35 s each and are what actually
-    // tightens the min. All rounds are reported raw.
-    val rounds = (1 to 4).map { _ =>
+    // tightens the min. (Three rounds, not four: the whole bench must
+    // stay under ~20 min wall — six 16-core draws already double the r2
+    // sample count on the side that needs it.) All rounds reported raw.
+    val rounds = (1 to 3).map { _ =>
       val a = measure(4); val b = math.min(measure(16), measure(16))
       (a, b, (benchN / b) / (benchN / a) / 4.0)
     }
