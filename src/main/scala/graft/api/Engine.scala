@@ -345,6 +345,29 @@ object Engine {
     Similarity.kmeansIvfTopK(queries, qKey, qVec, corpus, cKey, cVec, k, kClusters, iters, nprobe)
 
   /**
+   * Embedding-cosine near-duplicate decision (driver instructions'
+   * "embedding-cosine near-dup"): sign-LSH bucketed candidate pairs
+   * (hamming-1 multi-probe, hash equi-join only — no all-pairs), exact
+   * cosine ≥ `threshold` filter, then the transitive closure via
+   * [[graft.operators.Dedup.dropKeys]] so every cluster keeps exactly its
+   * min-key representative. Output (drop_key, keep_key).
+   *
+   * Scale: candidates per vector ≈ corpus·(bits+1)/2^bits; recall < 1 by
+   * LSH construction (spec-tested against brute-force pairs on the
+   * fixture) — raise `k`/lower `bits` to trade cost for recall.
+   */
+  def nearDupByEmbedding(vecs: DataFrame, key: String, vec: String,
+      threshold: Double, k: Int = 10, bits: Int = 8): DataFrame = {
+    val q = vecs.select(col(key).as("__q"), col(vec).as("__qv"))
+    val pairs = Similarity.lshTopK(q, "__q", "__qv", vecs, key, vec, k, bits)
+      .where(col("cos") >= threshold)
+      // each undirected pair appears once: keep the (small, large) orientation
+      .where(col("__q") < col(key))
+      .select(col("__q").as("key_a"), col(key).as("key_b"))
+    Dedup.dropKeys(pairs, "key_a", "key_b")
+  }
+
+  /**
    * The full training-data cleaning decision in one call — the composite
    * a 100 TB corpus pipeline runs before tokenization: per document,
    * `status` ∈ {exact_dup, near_dup, low_quality, keep} with that fixed

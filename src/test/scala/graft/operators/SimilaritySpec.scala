@@ -117,4 +117,67 @@ class SimilaritySpec extends AnyFunSuite {
     // construction; sanity: no query returns more than k rows
     assert(lsh.groupBy("q").count().where(col("count") > 5).count() == 0)
   }
-}
+
+  test("nearDupByEmbedding: perturbation clusters recovered, no spurious merges") {
+    // the operator's real regime: near-dups are PERTURBED COPIES (cosine
+    // ~0.99), not loosely-similar pairs — construct 30 clusters of
+    // {base, 2 jittered copies} over 100 random decoys
+    import graft.sources.Fixtures.mix
+    val base = emb.where(col("vec_id") < 130)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def jitter(v: Array[Double], seed: Long): Array[Double] =
+      v.zipWithIndex.map { case (x, i) =>
+        x + 0.03 * (((mix(seed * 7919L + i) >>> 11).toDouble / (1L << 53)) - 0.5)
+      }
+    val rows: Seq[(Long, Array[Double])] =
+      base.toSeq ++ base.take(30).flatMap { case (k, v) =>
+        Seq((1000L + k) -> jitter(v, k), (2000L + k) -> jitter(v, k + 500)) }
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, v.toSeq) }, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    val tau = 0.95
+    // pure-Scala oracle: true pairs + union-find closure
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val arr = rows.toArray
+    val parent = scala.collection.mutable.Map(arr.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for { i <- arr.indices; j <- (i + 1) until arr.length
+          if cos(arr(i)._2, arr(j)._2) >= tau } {
+      val (ra, rb) = (find(arr(i)._1), find(arr(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val trueComp = arr.map(r => r._1 -> find(r._1)).toMap
+    val trueDrops = trueComp.collect { case (k, c) if k != c => k }.toSet
+    assert(trueDrops.size >= 60) // the 60 jittered copies (+ chance decoy pairs)
+
+    val got = graft.api.Engine.nearDupByEmbedding(vecs, "vec_id", "embedding",
+      threshold = tau, k = 8, bits = 8)
+      .select("drop_key", "keep_key").as[(Long, Long)].collect()
+    // PRECISION is structural: LSH edges are a subset of true edges (the
+    // exact-cosine filter), so a spurious cluster merge is impossible
+    got.foreach { case (d, kk) =>
+      assert(trueComp(d) == trueComp(kk), s"spurious cluster merge: $d vs $kk")
+      assert(d != kk)
+    }
+    val foundDrops = got.map(_._1).toSet
+    assert(foundDrops.subsetOf(trueDrops))
+    // jittered copies share ~all hyperplane signs with their base, and
+    // hamming-1 multi-probe covers single flips → near-complete recall
+    assert(foundDrops.size >= (trueDrops.size * 0.9).toInt,
+      s"recall too low: ${foundDrops.size}/${trueDrops.size}")
+    // deterministic
+    val again = graft.api.Engine.nearDupByEmbedding(vecs, "vec_id", "embedding",
+      threshold = tau, k = 8, bits = 8)
+      .select("drop_key", "keep_key").as[(Long, Long)].collect().toSet
+    assert(again == got.toSet)
+  }}
