@@ -143,7 +143,11 @@ object Knn {
     // passes the edge-distance bound and just costs one extra global sync
     var lo = 0
     var r = 0
-    while (lo <= maxRings && !open.isEmpty) {
+    // open-set size rides each round's checkpoint job via observe() —
+    // the explicit per-round isEmpty action (one more driver round-trip
+    // in the loop's serial path) is only needed once, for round 0
+    var openCount: Long = if (open.isEmpty) 0L else Long.MaxValue
+    while (lo <= maxRings && openCount > 0) {
       r = if (lo == 0) math.min(1, maxRings) else math.min(lo * 2, maxRings)
       val ringCells = open.select(
         col("__qkey"), col("__qlat"), col("__qlon"),
@@ -164,13 +168,16 @@ object Knn {
       // localCheckpoint: materialize AND truncate lineage — the plan would
       // otherwise grow by one join+agg per round and blow up the optimizer
       // (observed: explainString OOM)
+      val obs = org.apache.spark.sql.Observation(s"__knn_open_${r}_${System.nanoTime()}")
       val aggd = ckpt(all
         .groupBy("__qkey", "__qlat", "__qlon")
         .agg(TopKByScore.topK(k)(col("__score"), col("__tk64")).as("__tk"))
         .withColumn("__done",
           col("__tk.n") === k &&
             -element_at(col("__tk.scores"), col("__tk.n")) <=
-              cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r))))
+              cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
+        .observe(obs, count(when(!col("__done"), 1)).as("open")))
+      openCount = obs.get("open").asInstanceOf[Long]
       if (aggds.isEmpty) initialOpen.unpersist()
       aggds += aggd
       val stillOpen = aggd.where(!col("__done"))
