@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * From-scratch WARC/1.0 reader + writer — the container format
+ * Common-Crawl actually ships pages in (the north-rule input is a
+ * "Common-Crawl-style web page" table), and like PPM/WAV it is a plain
+ * byte layout needing no external library:
+ *
+ *   WARC/1.0\r\n
+ *   <Header-Name>: <value>\r\n …          (ASCII; values may be UTF-8)
+ *   Content-Length: <n>\r\n
+ *   \r\n
+ *   <n payload bytes>\r\n\r\n             (record terminator)
+ *
+ * Reader contract mirrors the media codecs: a malformed record is
+ * SKIPPED (scan resumes at the next "WARC/1.0\r\n" magic), never thrown —
+ * a single corrupt record in a 100 TB crawl must cost one record, not
+ * the job. Payload bytes are returned verbatim (byte-identical html —
+ * the north-rule invariant — rides through untouched).
+ *
+ * Spark integration: `readPages` uses the built-in `binaryFile` source
+ * (one file per row, segment-per-task parallelism — matching how CC
+ * distributes work: thousands of ~1 GB segment files; record splitting
+ * happens inside the task). Plain (uncompressed) WARC only: gzip
+ * members would need a codec stream wired into the same record walk.
+ */
+object Warc {
+
+  final case class Record(headers: Seq[(String, String)], payload: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+  }
+
+  private val Magic = "WARC/1.0\r\n".getBytes(US_ASCII)
+
+  /** Write one response record (canonical header subset). */
+  def renderRecord(targetUri: String, date: java.sql.Timestamp,
+      payload: Array[Byte]): Array[Byte] = {
+    val iso = date.toInstant.toString
+    val head = (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      s"WARC-Date: $iso\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("UTF-8")
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Total parser: every well-formed record in the segment, in order;
+   * malformed bytes are skipped to the next magic. */
+  def parseSegment(bytes: Array[Byte]): Seq[Record] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var pos = indexOf(bytes, Magic, 0)
+    while (pos >= 0) {
+      var next = -1 // where to resume scanning if this record is malformed
+      val headerStart = pos + Magic.length
+      val headerEnd = indexOf(bytes, "\r\n\r\n".getBytes(US_ASCII), headerStart)
+      if (headerEnd < 0) { pos = -1 } // no header terminator → done
+      else {
+        val headerText = new String(bytes, headerStart, headerEnd - headerStart, "UTF-8")
+        val headers = headerText.split("\r\n").toSeq.flatMap { line =>
+          val c = line.indexOf(':')
+          if (c <= 0) None else Some(line.substring(0, c).trim -> line.substring(c + 1).trim)
+        }
+        val rec = Record(headers, Array.empty)
+        val lenOk = rec.header("Content-Length").flatMap(v => v.toLongOption)
+          .filter(n => n >= 0 && n <= Int.MaxValue)
+        val bodyStart = headerEnd + 4
+        lenOk match {
+          case Some(n) if bodyStart.toLong + n <= bytes.length =>
+            val payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + n.toInt)
+            out += rec.copy(payload = payload)
+            next = bodyStart + n.toInt
+          case _ =>
+            next = headerStart // malformed: rescan after this magic
+        }
+        pos = indexOf(bytes, Magic, next)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read a directory of .warc segments into the canonical pages shape
+   * (url, warc_ts, html BINARY) — response records with a target URI;
+   * anything else (warcinfo, request, malformed) is dropped. */
+  def readPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { seg =>
+        parseSegment(seg).iterator
+          .filter(r => r.header("WARC-Type").contains("response"))
+          .flatMap { r =>
+            for {
+              uri <- r.header("WARC-Target-URI")
+              ts <- r.header("WARC-Date").flatMap(d =>
+                scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(d))).toOption)
+            } yield (uri, ts, r.payload)
+          }
+      }
+      .toDF("url", "warc_ts", "html")
+  }
+
+  /** Write pages (url, warc_ts, html) as one .warc segment per partition
+   * — the fixture/export side of [[readPages]], and the shape CC segments
+   * come in (many independent files → file-granular parallel read).
+   * Writes to the task-local filesystem (exactly what local-mode tests
+   * and fixture generation need); a cluster export would swap the
+   * Files.write for a shared-storage stream, record layout unchanged. */
+  def writePages(pages: DataFrame, dir: String): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    pages.select(col("url"), col("warc_ts"), col("html"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, java.sql.Timestamp, Array[Byte])]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bos = new java.io.ByteArrayOutputStream()
+          it.foreach { case (url, ts, html) => bos.write(renderRecord(url, ts, html)) }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"segment-$pid%05d.warc"), bos.toByteArray)
+        }
+        () // foreachPartition wants Unit
+      }
+  }
+}

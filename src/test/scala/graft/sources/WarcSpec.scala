@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+import graft.sources.Fixtures.mix
+
+class WarcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("WARC round-trip: byte-identical html through write → segment files → read") {
+    val dir = Files.createTempDirectory("graft_warc").toString
+    val pages = Fixtures.pages(spark, 300, partitions = 4).toDF()
+      .select("url", "warc_ts", "html")
+    Warc.writePages(pages, dir)
+    // one segment per non-empty partition, parallel-readable
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc")) > 1)
+    val back = Warc.readPages(spark, dir)
+    val wantRows = pages.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val gotRows = back.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(gotRows == wantRows && wantRows.size == 300)
+  }
+
+  test("extraction over WARC-read pages equals extraction over the original table") {
+    val dir = Files.createTempDirectory("graft_warc2").toString
+    val pages = Fixtures.pages(spark, 120, partitions = 2).toDF()
+    Warc.writePages(pages.select("url", "warc_ts", "html"), dir)
+    def ents(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("url"), graft.functions.extract_geo(col("html"))
+        .as(Seq("entity_idx", "source", "lat", "lon")))
+      .as[(String, Int, String, Double, Double)].collect().toSet
+    assert(ents(Warc.readPages(spark, dir)) == ents(pages))
+  }
+
+  test("malformed records are skipped, not fatal; later records survive") {
+    val good1 = Warc.renderRecord("https://a.example/1",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "<html>1</html>".getBytes)
+    val good2 = Warc.renderRecord("https://a.example/2",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "<html>2</html>".getBytes)
+    // bad record: Content-Length larger than the remaining bytes
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.example/bad\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Length: 99999\r\n\r\nshort").getBytes
+    // non-response record types are parsed but filtered by readPages
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nok\r\n\r\n").getBytes
+    val seg = good1 ++ bad ++ info ++ good2
+    val recs = Warc.parseSegment(seg)
+    assert(recs.count(_.header("WARC-Type").contains("response")) == 2)
+    assert(recs.exists(_.header("WARC-Type").contains("warcinfo")))
+    val uris = recs.flatMap(_.header("WARC-Target-URI"))
+    assert(uris.contains("https://a.example/1") && uris.contains("https://a.example/2"))
+    assert(!recs.exists(r => r.header("WARC-Target-URI").contains("https://a.example/bad")
+      && r.payload.nonEmpty))
+  }
+
+  test("parseSegment is total on arbitrary bytes") {
+    def randomBytes(seed: Long, maxLen: Int): Array[Byte] = {
+      val len = (mix(seed) & 0x7fffffff).toInt % (maxLen + 1)
+      Array.tabulate(len)(i => (mix(seed * 1000003L + i) & 0xff).toByte)
+    }
+    (0 until 1500).foreach { s => Warc.parseSegment(randomBytes(s, 300)) }
+    // byte soups seeded with the magic to exercise the header parser
+    (0 until 1000).foreach { s =>
+      Warc.parseSegment("WARC/1.0\r\n".getBytes ++ randomBytes(s + 5000, 150))
+    }
+    // truncations of a valid record at every length
+    val valid = Warc.renderRecord("https://t.example/x",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "<html>x</html>".getBytes)
+    (0 until valid.length).foreach { n =>
+      Warc.parseSegment(java.util.Arrays.copyOf(valid, n))
+    }
+  }
+}
