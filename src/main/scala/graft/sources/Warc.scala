@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
  * Spark integration: `readPages` uses the built-in `binaryFile` source
  * (one file per row, segment-per-task parallelism — matching how CC
  * distributes work: thousands of ~1 GB segment files; record splitting
- * happens inside the task). Plain (uncompressed) WARC only: gzip
- * members would need a codec stream wired into the same record walk.
+ * happens inside the task). `.warc.gz` segments — the form CC actually
+ * publishes, a concatenation of per-record gzip members — are inflated
+ * with the JDK's multi-member-aware GZIPInputStream before the same
+ * record walk.
  */
 object Warc {
 
@@ -101,17 +103,34 @@ object Warc {
     out.toSeq
   }
 
-  /** Read a directory of .warc segments into the canonical pages shape
-   * (url, warc_ts, html BINARY) — response records with a target URI;
-   * anything else (warcinfo, request, malformed) is dropped. */
+  /** Inflate a (possibly multi-member) gzip segment; None if the bytes
+   * are not valid gzip — same skip-don't-throw contract as the parser. */
+  def gunzip(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** Read a directory of .warc / .warc.gz segments into the canonical
+   * pages shape (url, warc_ts, html BINARY) — response records with a
+   * target URI; anything else (warcinfo, request, malformed or
+   * undecodable segments) is dropped. */
   def readPages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { seg =>
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) =>
+        val seg =
+          if (path.endsWith(".gz")) gunzip(raw).getOrElse(Array.empty[Byte])
+          else raw
         parseSegment(seg).iterator
           .filter(r => r.header("WARC-Type").contains("response"))
           .flatMap { r =>
@@ -130,8 +149,10 @@ object Warc {
    * come in (many independent files → file-granular parallel read).
    * Writes to the task-local filesystem (exactly what local-mode tests
    * and fixture generation need); a cluster export would swap the
-   * Files.write for a shared-storage stream, record layout unchanged. */
-  def writePages(pages: DataFrame, dir: String): Unit = {
+   * Files.write for a shared-storage stream, record layout unchanged.
+   * With `gzip = true` each RECORD is its own gzip member (CC's layout —
+   * it makes records independently seekable/streamable). */
+  def writePages(pages: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val spark = pages.sparkSession
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -141,9 +162,16 @@ object Warc {
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val bos = new java.io.ByteArrayOutputStream()
-          it.foreach { case (url, ts, html) => bos.write(renderRecord(url, ts, html)) }
+          it.foreach { case (url, ts, html) =>
+            val rec = renderRecord(url, ts, html)
+            if (gzip) {
+              val gz = new java.util.zip.GZIPOutputStream(bos) // one member per record
+              gz.write(rec); gz.finish()
+            } else bos.write(rec)
+          }
+          val ext = if (gzip) "warc.gz" else "warc"
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"segment-$pid%05d.warc"), bos.toByteArray)
+            java.nio.file.Paths.get(dir, f"segment-$pid%05d.$ext"), bos.toByteArray)
         }
         () // foreachPartition wants Unit
       }

@@ -26,6 +26,23 @@ class WarcSpec extends AnyFunSuite {
     assert(gotRows == wantRows && wantRows.size == 300)
   }
 
+  test("gzipped segments (per-record members, CC layout) round-trip identically") {
+    val dir = Files.createTempDirectory("graft_warcgz").toString
+    val pages = Fixtures.pages(spark, 150, partitions = 3).toDF()
+      .select("url", "warc_ts", "html")
+    Warc.writePages(pages, dir, gzip = true)
+    assert(new java.io.File(dir).listFiles().forall(_.getName.endsWith(".warc.gz")))
+    val back = Warc.readPages(spark, dir)
+    val want = pages.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val got = back.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(got == want && want.size == 150)
+    // undecodable .gz bytes drop the segment, not the job
+    Files.write(java.nio.file.Paths.get(dir, "corrupt.warc.gz"), Array[Byte](1, 2, 3))
+    assert(Warc.readPages(spark, dir).count() == 150)
+  }
+
   test("extraction over WARC-read pages equals extraction over the original table") {
     val dir = Files.createTempDirectory("graft_warc2").toString
     val pages = Fixtures.pages(spark, 120, partitions = 2).toDF()
