@@ -178,9 +178,15 @@ object Engine {
       .where(col("__rn") <= depth).drop("__rn")
 
   /** Compact node summaries (summarize_node, models/ast.py:46-84): type,
-   * points, ≤50-char first-line preview. */
+   * points, ≤50-char first-line preview. `html` rides THROUGH the
+   * generator projection (like [[nodesWithText]]) instead of being
+   * re-attached by a join — the join shape re-shuffled every page's full
+   * html bytes once per node row. */
   def summarizeNodes(pages: DataFrame): DataFrame =
-    nodes(pages).join(pages.select("url", "html"), "url")
+    pages.select(col("url"), col("html"), parse_html_nodes(col("html")).as(Seq(
+      "node_id", "parent_id", "depth", "kind", "name", "attrs",
+      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
+      "path", "children_count")))
       .withColumn("preview",
         substring(split(utf8_decode_replace(
           expr("substring(html, start_byte + 1, least(end_byte - start_byte, 200))")), "\n")
@@ -393,10 +399,15 @@ object Engine {
       "key_a", "key_b")
       .select(col("drop_key").as(key)).withColumn("__near", lit(true))
     val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct
+    // materialize the token arrays ONCE per row before deriving metrics:
+    // HOF arguments are interpreted with no subexpression elimination, so
+    // the inline form ran the tokenizer regex three times per document
     val lowQuality = docs
-      .select(col(key), size(TextAnalysis.tokens(col(text))).cast("long").as("__nt"),
-        (size(filter(TextAnalysis.tokens(lower(col(text))), t => t.isInCollection(sw)))
-          .cast("double") / size(TextAnalysis.tokens(col(text)))).as("__swr"))
+      .select(col(key), TextAnalysis.tokens(col(text)).as("__t"),
+        TextAnalysis.tokens(lower(col(text))).as("__lt"))
+      .select(col(key), size(col("__t")).cast("long").as("__nt"),
+        (size(filter(col("__lt"), t => t.isInCollection(sw)))
+          .cast("double") / size(col("__t"))).as("__swr"))
       .where(col("__nt") < minTokens || col("__swr") < minStopwordRatio)
       .select(col(key)).withColumn("__lowq", lit(true))
     docs.select(col(key))

@@ -50,10 +50,13 @@ object Dedup {
    *         component = min key of the connected component.
    *         OWNERSHIP: the result is localCheckpoint-persisted (its lineage
    *         is truncated, so the blocks ARE the data) — the caller must
-   *         `.unpersist()` it after the last action over it, or the blocks
-   *         live in executor storage for the session ([[dropKeys]] does
-   *         this: it materializes its own smaller output, then releases
-   *         the labels).
+   *         release it after the last action over it via
+   *         `GraftBridge.releaseCheckpointBlocks` (plain `.unpersist()` is
+   *         a NO-OP on a checkpointed frame: the blocks are RDD-level
+   *         persisted, not CacheManager entries), or the blocks live in
+   *         executor storage until a driver GC lets the ContextCleaner at
+   *         them ([[dropKeys]] does this: it materializes its own smaller
+   *         output, then releases the labels).
    */
   def components(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
     val edges = pairs.select(col(keyA).as("src"), col(keyB).as("dst"))
@@ -85,7 +88,10 @@ object Dedup {
           .localCheckpoint(true)
         changed = next.join(labels.withColumnRenamed("component", "__old"), "key")
           .where(col("component") =!= col("__old")).count()
-        labels.unpersist()
+        // release the superseded round's checkpoint blocks NOW (nothing
+        // references them once `changed` is counted); .unpersist() would
+        // be a no-op on a checkpointed frame
+        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(labels)
         labels = next
       }
       labels
@@ -102,7 +108,7 @@ object Dedup {
     val out = labels.where(col("key") =!= col("component"))
       .select(col("key").as("drop_key"), col("component").as("keep_key"))
       .localCheckpoint(true)
-    labels.unpersist()
+    org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(labels)
     out
   }
 
@@ -120,7 +126,16 @@ object Dedup {
    * Slice width is floor(32 / numHashes) hex chars, so any numHashes in
    * [1, 32] is accepted (non-divisors leave trailing hex chars unused —
    * narrower slices only add verify-filtered collisions, see above). */
-  def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame = {
+  /** Tokenize + shingle once: (key, sh: array<string>) — the single frame
+   * every minhash stage derives from (see [[minhashLsh]]). */
+  def shingleSets(df: DataFrame, key: String, text: String): DataFrame =
+    df.withColumn("__ts", TextAnalysis.tokens(col(text)))
+      .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
+
+  def minhashLong(df: DataFrame, key: String, text: String, numHashes: Int): DataFrame =
+    minhashLongFromSets(shingleSets(df, key, text), key, numHashes)
+
+  private def minhashLongFromSets(sets: DataFrame, key: String, numHashes: Int): DataFrame = {
     require(numHashes >= 1 && numHashes <= 32,
       s"numHashes must be in [1, 32] (md5 has 32 hex chars), got $numHashes")
     val w = 32 / numHashes
@@ -129,8 +144,8 @@ object Dedup {
     // re-evaluate the whole shingle expression 3x per row at the scan
     // (observed in plans; 4x wall cost). The cheap isNotNull filter on
     // the exploded column replaces them.
-    val sh = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
-      .select(col(key), explode_outer(TextAnalysis.shinglesOf(col("__ts"))).as("s"))
+    val sh = sets
+      .select(col(key), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull)
       .withColumn("__h", md5(col("s")))
     val mins = (0 until numHashes).map(i =>
@@ -149,32 +164,44 @@ object Dedup {
    * key_a < key_b and jaccard ≥ threshold, 4-dp rounded.
    * bands × rowsPerBand may be any value in [1, 32] (see [[minhashLong]]
    * for the hex-slice width rule when it does not divide 32).
+   *
+   * The tokenized/shingled corpus is computed ONCE ([[shingleSets]]),
+   * persisted, and shared by the signature stage and BOTH sides of the
+   * verify join — the previous shape re-ran the tokenizer+shingler (the
+   * dominant regex cost) three times. To give the persist a deterministic
+   * release point the (small — pairs only) output is materialized eagerly
+   * via localCheckpoint before the shingle cache is dropped, so the
+   * returned frame owns no lineage into it. At 100 TB the persist spills
+   * shingle arrays to executor disk (MEMORY_AND_DISK) — still strictly
+   * cheaper than three full tokenize passes over the text.
    */
   def minhashLsh(df: DataFrame, key: String, text: String,
       bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val mh = minhashLong(df, key, text, numHashes)
-      .withColumn("band", (col("h_idx") / rowsPerBand).cast("long"))
-    // band key: hashes of the band concatenated in h_idx order
-    val bandKeys = mh.groupBy(col(key), col("band"))
-      .agg(concat_ws("|", array_sort(collect_list(
-        concat(lpad(col("h_idx").cast("string"), 4, "0"), lit("="), col("min_hash"))))).as("band_key"))
-    val a = bandKeys.select(col(key).as("key_a"), col("band"), col("band_key"))
-    val b = bandKeys.select(col(key).as("key_b"), col("band"), col("band_key"))
-    val cand = a.join(b, Seq("band", "band_key"))
-      .where(col("key_a") < col("key_b"))
-      .select("key_a", "key_b").distinct()
-    // verify with exact Jaccard over shingle sets
-    val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
-      .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
-    val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
-    val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
-    cand.join(sa, "key_a").join(sb, "key_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .where(col("jaccard") >= threshold)
-      .select("key_a", "key_b", "jaccard")
+    val sets = shingleSets(df, key, text).persist()
+    try {
+      val mh = minhashLongFromSets(sets, key, numHashes)
+        .withColumn("band", (col("h_idx") / rowsPerBand).cast("long"))
+      // band key: hashes of the band concatenated in h_idx order
+      val bandKeys = mh.groupBy(col(key), col("band"))
+        .agg(concat_ws("|", array_sort(collect_list(
+          concat(lpad(col("h_idx").cast("string"), 4, "0"), lit("="), col("min_hash"))))).as("band_key"))
+      val a = bandKeys.select(col(key).as("key_a"), col("band"), col("band_key"))
+      val b = bandKeys.select(col(key).as("key_b"), col("band"), col("band_key"))
+      val cand = a.join(b, Seq("band", "band_key"))
+        .where(col("key_a") < col("key_b"))
+        .select("key_a", "key_b").distinct()
+      // verify with exact Jaccard over the SAME cached shingle sets
+      val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
+      val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
+      cand.join(sa, "key_a").join(sb, "key_b")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .where(col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+        .localCheckpoint(true)
+    } finally sets.unpersist(false)
   }
 
   /** 16-bit SimHash from md5-derived per-token bit votes; portable to SQL

@@ -178,7 +178,9 @@ object Knn {
               cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
         .observe(obs, count(when(!col("__done"), 1)).as("open")))
       openCount = obs.get("open").asInstanceOf[Long]
-      if (aggds.isEmpty) initialOpen.unpersist()
+      // round 0's aggregate now owns the state; plain unpersist would be a
+      // no-op on the checkpointed query frame (RDD blocks, not cache entries)
+      if (aggds.isEmpty) org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
       aggds += aggd
       val stillOpen = aggd.where(!col("__done"))
       open = stillOpen.select("__qkey", "__qlat", "__qlon")
@@ -192,7 +194,7 @@ object Knn {
     }
     tgt.unpersist()
     if (aggds.isEmpty) { // zero rounds ran: the query set was empty
-      initialOpen.unpersist()
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
       return queries.limit(0).select(col(qKey),
         lit(null).cast(keyType).as(tKey), lit(0.0).as("dist_sq"), lit(0).as("rank"))
     }
@@ -214,7 +216,6 @@ object Knn {
       targets: DataFrame,
       tKey: String, tLat: String, tLon: String,
       k: Int, res: Int, reliableCheckpoint: Boolean): DataFrame = {
-    val spark = queries.sparkSession
     // both forms materialize eagerly AND truncate lineage (see loop note)
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
@@ -238,8 +239,12 @@ object Knn {
     val wTopK = Window.partitionBy("__qkey").orderBy(col("dist_sq"), col("__tkey"))
 
     var acc: DataFrame = null // accumulated top-k candidates of unresolved queries
-    var accPersisted: DataFrame = null // the cached plan backing `acc`
-    var out: DataFrame = null // finished queries
+    // per-round finished rows stay LAZY projections over that round's
+    // checkpointed topk (matching applyAgg's aggds discipline) — the old
+    // shape re-checkpointed out.union(finished) every round, rewriting
+    // O(rounds × finished) rows for nothing. OWNERSHIP: every round's topk
+    // blocks back the returned DataFrame (see applyAgg's aggds note).
+    val finishedRounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // geometric radius growth: bands [0,1], [2,4], [5,10], [11,22], … —
     // log(maxRings) driver rounds instead of one per ring. The first band
     // is the full disk-1 (not the lone [0,0] cell): res is sized so a
@@ -265,8 +270,6 @@ object Knn {
       val topk = ckpt(all
         .withColumn("rank", row_number().over(wTopK))
         .where(col("rank") <= k))
-      if (accPersisted != null) accPersisted.unpersist()
-      accPersisted = topk
 
       // a query is done when it has k candidates and the kth beats the
       // ring-r bound (nothing beyond ring r can improve the top-k)
@@ -276,26 +279,32 @@ object Knn {
       val doneKeys = kth
         .where(col("__n") === k && col("__kth") <= col("__bound"))
         .select("__qkey")
-      val finished = topk.join(doneKeys, "__qkey")
+      finishedRounds += topk.join(doneKeys, "__qkey")
         .select(col("__qkey"), col("__tkey"), col("dist_sq"), col("rank"))
-      out = if (out == null) ckpt(finished)
-        else ckpt(out.union(finished))
       val stillOpen = ckpt(unresolved.join(doneKeys, Seq("__qkey"), "left_anti"))
-      unresolved.unpersist()
+      // the superseded open set is referenced by nothing lazy (finished and
+      // acc derive from topk; stillOpen is eager) — release its blocks now
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(unresolved)
       unresolved = stillOpen
       acc = topk.join(doneKeys, Seq("__qkey"), "left_anti")
         .select("__qkey", "__qlat", "__qlon", "__tkey", "dist_sq")
       lo = r + 1
     }
+    tgt.unpersist()
+    if (finishedRounds.isEmpty && acc == null) { // zero rounds: empty query set
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(unresolved)
+      return queries.limit(0).select(col(qKey),
+        lit(null).cast(targets.schema(tKey).dataType).as(tKey),
+        lit(0.0).as("dist_sq"), lit(0).as("rank"))
+    }
     // queries never resolved (target table smaller than k, or grid
     // exhausted): emit what they have
     val tail =
-      if (acc == null) spark.emptyDataFrame
-      else acc
+      if (acc == null) Nil
+      else List(acc
         .withColumn("rank", row_number().over(wTopK))
-        .select(col("__qkey"), col("__tkey"), col("dist_sq"), col("rank"))
-    val result0 = if (out == null) tail else if (acc == null) out else out.union(tail)
-    tgt.unpersist()
+        .select(col("__qkey"), col("__tkey"), col("dist_sq"), col("rank")))
+    val result0 = (finishedRounds.toList ++ tail).reduce(_.union(_))
     result0
       .withColumnRenamed("__qkey", qKey)
       .withColumnRenamed("__tkey", tKey)

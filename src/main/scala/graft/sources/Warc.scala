@@ -167,6 +167,9 @@ object Warc {
             if (gzip) {
               val gz = new java.util.zip.GZIPOutputStream(bos) // one member per record
               gz.write(rec); gz.finish()
+              gz.close() // release the native Deflater NOW (close of the
+              // wrapping stream; ByteArrayOutputStream.close is a no-op) —
+              // finalization-deferred release leaks one Deflater per record
             } else bos.write(rec)
           }
           val ext = if (gzip) "warc.gz" else "warc"

@@ -44,8 +44,7 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(Ingest.PagesSchema).parquet(dir)
     def transform(df: org.apache.spark.sql.DataFrame) =
       df.select(col("url"), length(col("html")).cast("long").as("html_len"))
-    val q = Ingest.snapshotSink(stream, root, "pages_len")(transform)
-      .option("checkpointLocation", ckpt)
+    val q = Ingest.snapshotSink(stream, root, "pages_len", ckpt)(transform)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     // the committed snapshot table equals the batch equivalent
@@ -64,12 +63,44 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(graft.snap.SnapshotCatalog.read(spark, root, "pages_len").count() == 200)
     // restarting the stream over the same checkpoint finds no new data
     val q2 = Ingest.snapshotSink(
-        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "pages_len")(transform)
-      .option("checkpointLocation", ckpt)
+        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "pages_len", ckpt)(transform)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(graft.snap.SnapshotCatalog.currentManifest(root, "pages_len").get
       .completedWaves == m.completedWaves)
+  }
+
+  test("snapshotSink refuses a FRESH checkpoint over a table it streamed before") {
+    // the silent-drop hazard: a fresh checkpoint restarts batch ids at 0;
+    // wave-0 idempotence would swallow its (possibly new) rows without the
+    // ownership guard — even when wave 0 is also the table's LATEST wave
+    // (the single-batch AvailableNow case the old latest-wave heuristic
+    // accepted as a replay)
+    val dir = Files.createTempDirectory("graft_sink_in3").toString
+    val root = Files.createTempDirectory("graft_sink_tbl3").toString
+    Fixtures.pages(spark, 40, partitions = 1).toDF() // 1 input file → 1 batch
+      .write.mode("overwrite").parquet(dir)
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("url"), length(col("html")).cast("long").as("html_len"))
+    val ckpt1 = Files.createTempDirectory("graft_sink_ck3a").toString
+    val q1 = Ingest.snapshotSink(
+        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "t_own", ckpt1)(transform)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val waves = graft.snap.SnapshotCatalog.currentManifest(root, "t_own").get.completedWaves
+    // a DIFFERENT (fresh) checkpoint over the same table must fail loudly
+    val ckpt2 = Files.createTempDirectory("graft_sink_ck3b").toString
+    val q2 = Ingest.snapshotSink(
+        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "t_own", ckpt2)(transform)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q2.awaitTermination())
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+    assert(msg(e).contains("owned by streaming checkpoint"), msg(e))
+    // table untouched by the refused stream
+    assert(graft.snap.SnapshotCatalog.currentManifest(root, "t_own").get
+      .completedWaves == waves)
+    assert(graft.snap.SnapshotCatalog.read(spark, root, "t_own").count() == 40)
   }
 
   test("snapshotSink refuses a table whose waves were written by a batch run") {
@@ -82,8 +113,7 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     graft.snap.SnapshotCatalog.resumableRun(
       spark, spark.read.parquet(dir), "url", waves = 2, root, "t_batch")(identity)
     val q = Ingest.snapshotSink(
-        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "t_batch")(identity)
-      .option("checkpointLocation", ckpt)
+        spark.readStream.schema(Ingest.PagesSchema).parquet(dir), root, "t_batch", ckpt)(identity)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q.awaitTermination())
     assert(e.getMessage.contains("snapshotSink") ||
