@@ -520,17 +520,25 @@ object SparkEntry {
         .where(col("rnk") <= 5)
     }),
 
-    // ---- rows-only checks (not SQL-expressible; driver records weaker
-    // checks per the contract; full verification lives in ScalaTest) ------
+    // sign-LSH ANN: the hyperplanes are deterministic data-independent
+    // literals, so since round 4 this has a FULL oracle (the SQL inlines
+    // the same hyperplane constants)
     "q41_ann_lsh" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
       val q = e.where(col("vec_id") < 20).select(col("vec_id").as("q_vec"), col("embedding"))
       Similarity.lshTopK(q, "q_vec", "embedding", e, "vec_id", "embedding", k = 5, bits = 4)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // real PPM decode (two sizes so width/height are not constants); the
+    // stub fallback is no longer on the driver-gate path
     "q42_multimodal_meta" -> ((s, d) => {
       import s.implicits._
-      Multimodal.imageMeta(Multimodal.syntheticMedia(s, 300)).toDF()
+      Multimodal.imageMeta(
+        Multimodal.syntheticPpm(s, 150, 16, 12).union(Multimodal.syntheticPpm(s, 150, 7, 5)))
+        .toDF()
+        .select(col("key"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"))
     }),
 
     // ---- real codec-free media kernels: full encode→decode→stats loops
@@ -549,6 +557,32 @@ object SparkEntry {
     "q72_audio_stats" -> ((s, d) => {
       import s.implicits._
       Multimodal.audioStats(Multimodal.syntheticWav(s, 200, 8000, 1600)).toDF()
+    }),
+
+    // WARC round-trip (the CC container): pages → gzipped segments →
+    // readPages. Byte identity is checked two independent ways: md5 vs the
+    // source pages (in-engine join) and md5 vs DuckDB's own derivation of
+    // the html string (the oracle) — the url/ts/html of every page must
+    // survive the container bytes exactly.
+    "q73_warc_roundtrip" -> ((s, d) => {
+      val pages = PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("url"), col("warc_ts"), col("html"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q73").toString
+      graft.sources.Warc.writePages(pages.repartition(4), dir, gzip = true)
+      graft.sources.Warc.readPages(s, dir)
+        .join(pages.select(col("url"), col("warc_ts").as("__ts0"),
+          md5(col("html")).as("__md50")), "url")
+        .select(col("url"), md5(col("html")).as("html_md5"),
+          length(col("html")).cast("long").as("html_len"),
+          (col("warc_ts") === col("__ts0") && md5(col("html")) === col("__md50"))
+            .as("roundtrip_ok"))
+    }),
+
+    // payload-dialect inventory (list_languages analogue) — static
+    // metadata, but the driver gate pins the surface's shape + content
+    "q74_payload_dialects" -> ((s, d) => {
+      import s.implicits._
+      graft.api.Engine.payloadDialects.toDF("dialect", "kernel", "available")
     }),
 
     "q43_snapshot_lineage" -> ((s, d) => {
@@ -1118,8 +1152,48 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)" +
         ") WHERE rnk <= 5"),
 
-    // q41-q43 intentionally have no oracle (LSH hyperplanes / splitmix /
-    // lineage are not SQL-expressible) → driver rows-only check.
+    // q41: the sign-LSH hyperplanes are deterministic data-independent
+    // constants, so the oracle inlines the SAME values as literal arrays
+    // (cosine arithmetic portability is the q15-proven path; the bucket
+    // test is exact sign/integer arithmetic). q43/q55 remain rows-only
+    // (lineage counters / float k-means iterates are not SQL-expressible).
+    "q41_ann_lsh" -> {
+      val hps = (0 until 4).map(j =>
+        Similarity.lshHyperplane(j, 64).mkString("[", ", ", "]"))
+      val bucket = (0 until 4).map(j =>
+        s"(CASE WHEN list_dot_product(v, ${hps(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bkt FROM e),
+         |q AS (SELECT vec_id AS q_vec, v AS qv, bkt AS b0 FROM b WHERE vec_id < 20),
+         |probes AS (SELECT q_vec, qv, xor(b0, m.m) AS bkt
+         |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m),
+         |scored AS (SELECT q_vec, c.vec_id,
+         |    round(list_dot_product(qv, c.v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+         |  FROM probes JOIN b c USING (bkt) WHERE q_vec <> c.vec_id)
+         |SELECT q_vec, vec_id, cos, rank FROM (
+         |  SELECT q_vec, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
+    },
+
+    "q42_multimodal_meta" ->
+      ("""SELECT x AS key, 16::BIGINT AS width, 12::BIGINT AS height, 'ppm' AS format
+        |FROM range(0, 150) t(x)
+        |UNION ALL
+        |SELECT x, 7::BIGINT, 5::BIGINT, 'ppm' FROM range(0, 150) t(x)""".stripMargin),
+
+    "q73_warc_roundtrip" ->
+      (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS html_md5,
+         |  length($HtmlSql)::BIGINT AS html_len, true AS roundtrip_ok
+         |FROM documents""".stripMargin),
+
+    "q74_payload_dialects" ->
+      graft.api.Engine.payloadDialects.map { case (d, k, a) =>
+        s"SELECT '$d' AS dialect, '$k' AS kernel, $a AS available"
+      }.mkString("\nUNION ALL\n"),
+
     "q44_spatial_join_salted" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
          |SELECT c_custkey, n_nationkey FROM pts, ctr

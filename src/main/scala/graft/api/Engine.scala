@@ -429,6 +429,26 @@ object Engine {
 
   /** Node-kind documentation (get_node_types, query_builder.py:129-179). */
   def nodeTypes: Map[String, String] = graft.parse.HtmlParser.NodeTypes
+
+  /** Payload-dialect availability — the reference's list_languages /
+   * check_language_available surface (tools/registration.py:140-173:
+   * installed-parser inventory + per-language availability probe). The
+   * engine's "languages" are payload dialects; `real` distinguishes
+   * from-scratch kernels from the clearly-marked sandbox stubs
+   * (codec-requiring formats, [[graft.operators.Multimodal]]). */
+  val payloadDialects: Seq[(String, String, Boolean)] = Seq(
+    ("embedding", "deterministic stub embedder (swap point for a model)", false),
+    ("html", "from-scratch byte parser (graft.parse.HtmlParser)", true),
+    ("jpeg", "metadata stub (sandbox ships no image codec)", false),
+    ("ppm", "from-scratch P6 codec (graft.operators.Multimodal)", true),
+    ("text", "native string kernels (graft.operators.TextAnalysis)", true),
+    ("video", "frame-offset stub (sandbox ships no video codec)", false),
+    ("warc", "from-scratch WARC/1.0 reader+writer (graft.sources.Warc)", true),
+    ("wav", "from-scratch RIFF/PCM16 codec (graft.operators.Multimodal)", true))
+
+  /** check_language_available analogue: does a REAL kernel back `dialect`? */
+  def dialectAvailable(dialect: String): Boolean =
+    payloadDialects.exists(p => p._1 == dialect && p._3)
   def langId(df: DataFrame, key: String, text: String): DataFrame =
     TextAnalysis.langId(df, key, text)
   def quality(df: DataFrame, key: String, text: String): DataFrame =

@@ -112,17 +112,21 @@ object Similarity {
    * for a large recall gain. Recall < 1 by construction (tested against
    * brute force); tune with bits.
    */
+  /** The deterministic pseudo-random hyperplanes [[lshTopK]] buckets with
+   * — public so an independent oracle can inline them as literals (the
+   * values are data-independent splitmix draws, pure public arithmetic). */
+  def lshHyperplane(j: Int, dim: Int, seed: Long = 42L): Array[Double] =
+    Array.tabulate(dim) { i =>
+      (graft.sources.Fixtures.mix(seed ^ (j.toLong * 100003L + i)) >>> 11).toDouble /
+        (1L << 53).toDouble * 2.0 - 1.0
+    }
+
   def lshTopK(queries: DataFrame, qKey: String, qVec: String,
       corpus: DataFrame, cKey: String, cVec: String, k: Int,
       bits: Int = 8, seed: Long = 42L): DataFrame = {
-    def hyperplane(j: Int, dim: Int): Array[Double] =
-      Array.tabulate(dim) { i =>
-        (graft.sources.Fixtures.mix(seed ^ (j.toLong * 100003L + i)) >>> 11).toDouble /
-          (1L << 53).toDouble * 2.0 - 1.0
-      }
     def bucket(vec: Column, dim: Int): Column =
       (0 until bits).map { j =>
-        when(dot(vec, typedLit(hyperplane(j, dim))) > 0, lit(1L << j)).otherwise(lit(0L))
+        when(dot(vec, typedLit(lshHyperplane(j, dim, seed))) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     // dimension from the first corpus row (driver-side metadata probe)
     val dim = corpus.select(size(col(cVec))).first().getInt(0)
