@@ -325,23 +325,30 @@ case class CellDiskBoundExpr(lat: Expression, lon: Expression, res: Expression, 
     copy(lat = f, lon = s, res = t, k = q)
 }
 
-/** All cells with Chebyshev distance in [kFrom, kTo] of `cell` — the
- * geometric-growth band used by kNN (fewer driver rounds than
- * ring-at-a-time; SURVEY §2.3 J6). */
+/** All cells with Chebyshev distance in [kFrom, kTo] of `cell`, as an
+ * ARRAY column exploded by the BUILT-IN `explode` (see
+ * [[graft.functions.cell_disk_band]]) — deliberately a codegen'd scalar
+ * rather than a custom Generator: a custom Generator is CodegenFallback,
+ * which severs whole-stage codegen for the entire generate→join→aggregate
+ * chain around it, leaving every ring-cell and join-candidate row an
+ * interpreted-path heap allocation. Measured on the kNN scaling bench at
+ * 16 cores that allocation rate (~9 GB/s) made GC the scaling ceiling;
+ * built-in explode keeps the chain in ONE WholeStageCodegen span and this
+ * expression allocates one long[] per input row. */
 case class CellDiskBandExpr(cell: Expression, kFrom: Expression, kTo: Expression)
-    extends TernaryExpression with Generator with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = cell
   override def second: Expression = kFrom
   override def third: Expression = kTo
-  override def elementSchema: StructType =
-    StructType(Seq(StructField("band_cell", LongType, nullable = false)))
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val c = cell.eval(input); val f = kFrom.eval(input); val t = kTo.eval(input)
-    if (c == null || f == null || t == null) return Nil
-    val cl = c.asInstanceOf[Long]
-    (f.asInstanceOf[Int] to t.asInstanceOf[Int]).iterator
-      .flatMap(k => CellIndex.ring(cl, k)).distinct.map(InternalRow(_)).toSeq
-  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, f: Any, t: Any): Any =
+    new GenericArrayData(CellIndex.diskBand(
+      c.asInstanceOf[Long], f.asInstanceOf[Int], t.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, f, t) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.geo.CellIndex.diskBand($c, $f, $t))")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
     copy(cell = f, kFrom = s, kTo = t)
 }

@@ -64,9 +64,13 @@ package object functions {
     column(CellDiskBoundExpr(expression(lat), expression(lon),
       expression(lit(res)), expression(k)))
 
-  /** Generator: cells with Chebyshev distance in [kFrom, kTo]. */
+  /** Cells with Chebyshev distance in [kFrom, kTo], exploded one per row.
+   * Built-in explode over a codegen'd array scalar — NOT a custom
+   * Generator — so the surrounding pipeline stays in whole-stage codegen
+   * (see [[CellDiskBandExpr]]). */
   def cell_disk_band(cell: Column, kFrom: Column, kTo: Column): Column =
-    column(CellDiskBandExpr(expression(cell), expression(kFrom), expression(kTo)))
+    org.apache.spark.sql.functions.explode(
+      column(CellDiskBandExpr(expression(cell), expression(kFrom), expression(kTo))))
 
   /** Generator: covering cells of a polygon ring at `res`. */
   def cell_cover(ring: Column, res: Int): Column =

@@ -102,6 +102,17 @@ object CellIndex {
   def disk(cell: Long, k: Int): Array[Long] =
     (0 to k).iterator.flatMap(ring(cell, _)).toArray.distinct
 
+  /** All cells with Chebyshev distance in [kFrom, kTo] — the
+   * geometric-growth band kNN explodes per round. Distinct and
+   * deterministic order (ring emission is cross-ring duplicate-free by
+   * the wrap rules above; the set keeps the contract explicit). */
+  def diskBand(cell: Long, kFrom: Int, kTo: Int): Array[Long] = {
+    val out = new scala.collection.mutable.LinkedHashSet[Long]
+    var k = math.max(kFrom, 0)
+    while (k <= kTo) { ring(cell, k).foreach(out += _); k += 1 }
+    out.toArray
+  }
+
   /** Cell bounds in degrees: (lonMin, latMin, lonMax, latMax). */
   def bounds(cell: Long): (Double, Double, Double, Double) = {
     val r = res(cell); val n = (1L << r).toDouble

@@ -40,6 +40,20 @@ import graft.geo.CellIndex
  */
 object Knn {
 
+  /** Per-round loop timing to stderr when GRAFT_KNN_DEBUG is set —
+   * the driver loop's serial cost is the scaling-critical quantity. */
+  private val Debug = sys.env.contains("GRAFT_KNN_DEBUG")
+
+  /** The session's broadcast budget in bytes (-1 = never broadcast). */
+  private def broadcastBytesLimit(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+      case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
+      case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
+      case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+      case s => s.toLong
+    }
+
   /**
    * @param queries (qKey, qLat, qLon) — qKey must be unique
    * @param targets (tKey, tLat, tLon)
@@ -65,6 +79,8 @@ object Knn {
       k: Int, res: Int, reliableCheckpoint: Boolean = false): DataFrame = {
     require(k >= 1)
     targets.schema(tKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType if k == 1 =>
+        applyNearest(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, res, reliableCheckpoint)
       case LongType | IntegerType | ShortType | ByteType =>
         applyAgg(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
       case _ =>
@@ -79,6 +95,130 @@ object Knn {
    * < k real candidates — and then its kth distance is +∞, which can never
    * pass the ring bound, so the done-test needs no special case. */
   private val SentinelScore = Double.NegativeInfinity
+
+  /**
+   * k = 1 (nearest-neighbor join, the most common call) — the fully
+   * codegen'd fast path. Per round the candidate stream aggregates
+   * through the declarative [[MaxScoreMinKey]]: its fixed-width
+   * (double, long) buffer lets HashAggregateExec fuse the PARTIAL
+   * aggregation into the scan→explode→join codegen span, so a candidate
+   * row is never materialized — zero per-candidate heap allocation. (The
+   * general-k path unions carried state + sentinels into an
+   * ObjectHashAggregate; that span boundary copies every candidate row —
+   * profiled at ~100 GB/child on the scaling bench, with the GC acting as
+   * a core-count-independent cost that capped N→4N scaling at ~0.7.)
+   * Carried per-query state is folded in AFTER the aggregate by a narrow
+   * left-outer join against the open set (three 8-byte columns a side —
+   * the scalar max/min-key merge of two candidates is plain CASE
+   * arithmetic), which also re-seeds queries whose band held no targets,
+   * replacing the sentinel-union trick.
+   */
+  private def applyNearest(
+      queries: DataFrame,
+      qKey: String, qLat: String, qLon: String,
+      targets: DataFrame,
+      tKey: String, tLat: String, tLon: String,
+      res: Int, reliableCheckpoint: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val keyType = targets.schema(tKey).dataType
+    val maxRings = (1L << res).toInt
+
+    val tEnter = System.nanoTime()
+    val tgt0 = targets.select(
+      col(tKey).cast(LongType).as("__tk64"), col(tLat).as("__tlat"), col(tLon).as("__tlon"))
+      .withColumn("__tcell", cell_id(col("__tlat"), col("__tlon"), res))
+      .persist()
+    // same compact-layer broadcast gate as applyAgg (see note there)
+    val tgt = if (tgt0.count() * 48 <= broadcastBytesLimit(tgt0)) broadcast(tgt0) else tgt0
+    if (Debug) System.err.println(
+      f"[knn] tgt ready ${(System.nanoTime() - tEnter) / 1e9}%.3fs")
+
+    val negD2 = {
+      val dx = col("__tlon") - col("__qlon")
+      val dy = col("__tlat") - col("__qlat")
+      (-(dx * dx + dy * dy)).as("__score")
+    }
+
+    // open carries the best-so-far candidate inline; sentinel = no real
+    // candidate yet (real scores are finite: NaN/±Inf filtered below)
+    val obs0 = org.apache.spark.sql.Observation(s"__knn_init_${System.nanoTime()}")
+    var open: DataFrame = ckpt(queries.select(
+      col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon"))
+      .withColumn("__score", lit(SentinelScore))
+      .withColumn("__tk64", lit(Long.MinValue))
+      .observe(obs0, count(lit(1)).as("n")))
+    if (Debug) System.err.println(
+      f"[knn] setup tgt+ckpt=${(System.nanoTime() - tEnter) / 1e9}%.3fs")
+    val initialOpen = open
+    // per-round states: finished rows stay lazy projections over each
+    // round's checkpoint (same ownership note as applyAgg's aggds)
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var lo = 0
+    var r = 0
+    var openCount: Long =
+      if (obs0.get("n").asInstanceOf[Long] == 0L) 0L else Long.MaxValue
+    val t0 = System.nanoTime()
+    while (lo <= maxRings && openCount > 0) {
+      r = if (lo == 0) math.min(1, maxRings) else math.min(lo * 2, maxRings)
+      val ringCells = open.select(
+        col("__qkey"), col("__qlat"), col("__qlon"),
+        cell_disk_band(cell_id(col("__qlat"), col("__qlon"), res), lit(lo), lit(r)).as("__cell"))
+      val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
+        .select(col("__qkey"), negD2, col("__tk64"))
+        .where(!isnan(col("__score")) && col("__score") =!= lit(Double.NegativeInfinity))
+      // ONE fused span up to the partial aggregate: no union, no sentinel
+      val roundBest = cand.groupBy("__qkey")
+        .agg(TopKByScore.best(col("__score"), col("__tk64")).as("__new"))
+      val newS = col("__new.best_score")
+      val newK = col("__new.best_key")
+      val bs2 = when(col("__new").isNull, col("__score"))
+        .when(newS > col("__score"), newS)
+        .otherwise(col("__score"))
+      val bk2 = when(col("__new").isNull, col("__tk64"))
+        .when(newS > col("__score"), newK)
+        .when(newS === col("__score"), least(col("__tk64"), newK))
+        .otherwise(col("__tk64"))
+      val obs = org.apache.spark.sql.Observation(s"__knn_open_${r}_${System.nanoTime()}")
+      if (Debug && sys.env.contains("GRAFT_KNN_EXPLAIN") && rounds.isEmpty) {
+        val dbg = roundBest
+        dbg.queryExecution.toRdd.count()
+        System.err.println("[knn] round-1 final plan:\n" +
+          dbg.queryExecution.executedPlan.toString.take(5000))
+      }
+      val aggd = ckpt(open
+        .join(roundBest, Seq("__qkey"), "left_outer")
+        .select(col("__qkey"), col("__qlat"), col("__qlon"),
+          bs2.as("__bs"), bk2.as("__bk"))
+        .withColumn("__done", col("__bs") =!= lit(SentinelScore) &&
+          -col("__bs") <= cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
+        .observe(obs, count(when(!col("__done"), 1)).as("open")))
+      openCount = obs.get("open").asInstanceOf[Long]
+      if (Debug) System.err.println(
+        f"[knn] band [$lo,$r] open=$openCount t=${(System.nanoTime() - t0) / 1e9}%.3fs")
+      if (rounds.isEmpty) org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
+      rounds += aggd
+      open = aggd.where(!col("__done"))
+        .select(col("__qkey"), col("__qlat"), col("__qlon"),
+          col("__bs").as("__score"), col("__bk").as("__tk64"))
+      lo = r + 1
+    }
+    tgt0.unpersist()
+    if (rounds.isEmpty) { // zero rounds ran: the query set was empty
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
+      return queries.limit(0).select(col(qKey),
+        lit(null).cast(keyType).as(tKey), lit(0.0).as("dist_sq"), lit(0).as("rank"))
+    }
+    def emit(df: DataFrame): DataFrame =
+      df.select(col("__qkey"), col("__bk").as("__tk64"),
+        (-col("__bs")).as("dist_sq"), lit(1).as("rank"))
+        .where(col("dist_sq") =!= lit(Double.PositiveInfinity))
+    val result0 = (rounds.init.map(a => emit(a.where(col("__done"))))
+      :+ emit(rounds.last)).reduce(_.union(_))
+    result0.select(
+      col("__qkey").as(qKey), col("__tk64").cast(keyType).as(tKey),
+      col("dist_sq"), col("rank"))
+  }
 
   /** Map-side partial top-k path (integral target keys). One shuffle per
    * round: the TopKByScore hash aggregate, whose output row also carries
@@ -96,11 +236,20 @@ object Knn {
     val keyType = targets.schema(tKey).dataType
     val maxRings = (1L << res).toInt
 
-    val tgt = targets.select(
+    val tEnter = System.nanoTime()
+    val tgt0 = targets.select(
       col(tKey).cast(LongType).as("__tk64"), col(tLat).as("__tlat"), col(tLon).as("__tlon"))
       .withColumn("__tcell", cell_id(col("__tlat"), col("__tlon"), res))
       .persist()
-    tgt.count()
+    // broadcast a compact target layer: the per-round cell equi-join then
+    // needs NO exchange on either side (the exploded ring-cell rows — the
+    // loop's biggest intermediate — never shuffle), cutting both shuffled
+    // bytes and two stage boundaries of driver-sync latency per round.
+    // Gate on measured size (rows × ~48 B) against the session's own
+    // broadcast threshold so a huge target table keeps the shuffle join.
+    val tgt = if (tgt0.count() * 48 <= broadcastBytesLimit(tgt0)) broadcast(tgt0) else tgt0
+    if (Debug) System.err.println(
+      f"[knn] tgt ready ${(System.nanoTime() - tEnter) / 1e9}%.3fs")
 
     // score = −d² so TopKByScore's (score desc, key asc) order is
     // (dist asc, key asc) — the exact window ordering it replaces
@@ -120,8 +269,33 @@ object Knn {
           (col("__pos") + 1).as("rank"))
         .where(col("dist_sq") =!= lit(Double.PositiveInfinity))
 
+    /** Per-round aggregate + resolution test (band radius `r`). */
+    def aggWithDone(all: DataFrame, r: Int): DataFrame =
+      all.groupBy("__qkey", "__qlat", "__qlon")
+        .agg(TopKByScore.topK(k)(col("__score"), col("__tk64")).as("__tk"))
+        .withColumn("__done",
+          col("__tk.n") === k &&
+            -element_at(col("__tk.scores"), col("__tk.n")) <=
+              cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
+
+    /** Carried candidate state of still-open queries (≤ k rows each). */
+    def openState(stillOpen: DataFrame): DataFrame =
+      stillOpen
+        .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tk.scores").as("__ss"),
+          posexplode(col("__tk.keys")).as(Seq("__pos", "__tk64")))
+        .select(col("__qkey"), col("__qlat"), col("__qlon"),
+          element_at(col("__ss"), col("__pos") + 1).as("__score"), col("__tk64"))
+        .where(col("__score") =!= lit(SentinelScore))
+
+    // the query count rides the checkpoint job via observe() — a separate
+    // isEmpty action would add one more driver round-trip to the loop's
+    // serial path (every such sync is core-count-independent cost)
+    val obs0 = org.apache.spark.sql.Observation(s"__knn_init_${System.nanoTime()}")
     var open: DataFrame = ckpt(queries.select(
-      col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon")))
+      col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon"))
+      .observe(obs0, count(lit(1)).as("n")))
+    if (Debug) System.err.println(
+      f"[knn] setup tgt+ckpt=${(System.nanoTime() - tEnter) / 1e9}%.3fs")
     val initialOpen = open // released once round 0's aggregate owns the state
     var acc: DataFrame = null // exploded real candidates of open queries (≤k each)
     // per-round aggregates: each round's finished/tail rows stay LAZY
@@ -146,7 +320,9 @@ object Knn {
     // open-set size rides each round's checkpoint job via observe() —
     // the explicit per-round isEmpty action (one more driver round-trip
     // in the loop's serial path) is only needed once, for round 0
-    var openCount: Long = if (open.isEmpty) 0L else Long.MaxValue
+    var openCount: Long =
+      if (obs0.get("n").asInstanceOf[Long] == 0L) 0L else Long.MaxValue
+    val t0 = System.nanoTime()
     while (lo <= maxRings && openCount > 0) {
       r = if (lo == 0) math.min(1, maxRings) else math.min(lo * 2, maxRings)
       val ringCells = open.select(
@@ -169,30 +345,27 @@ object Knn {
       // otherwise grow by one join+agg per round and blow up the optimizer
       // (observed: explainString OOM)
       val obs = org.apache.spark.sql.Observation(s"__knn_open_${r}_${System.nanoTime()}")
-      val aggd = ckpt(all
-        .groupBy("__qkey", "__qlat", "__qlon")
-        .agg(TopKByScore.topK(k)(col("__score"), col("__tk64")).as("__tk"))
-        .withColumn("__done",
-          col("__tk.n") === k &&
-            -element_at(col("__tk.scores"), col("__tk.n")) <=
-              cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
+      if (Debug && sys.env.contains("GRAFT_KNN_EXPLAIN") && aggds.isEmpty) {
+        val dbg = aggWithDone(all, r)
+        dbg.queryExecution.toRdd.count()
+        System.err.println("[knn] round-1 final plan:\n" +
+          dbg.queryExecution.executedPlan.toString.take(5000))
+      }
+      val aggd = ckpt(aggWithDone(all, r)
         .observe(obs, count(when(!col("__done"), 1)).as("open")))
       openCount = obs.get("open").asInstanceOf[Long]
+      if (Debug) System.err.println(
+        f"[knn] band [$lo,$r] open=$openCount t=${(System.nanoTime() - t0) / 1e9}%.3fs")
       // round 0's aggregate now owns the state; plain unpersist would be a
       // no-op on the checkpointed query frame (RDD blocks, not cache entries)
       if (aggds.isEmpty) org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
       aggds += aggd
       val stillOpen = aggd.where(!col("__done"))
       open = stillOpen.select("__qkey", "__qlat", "__qlon")
-      acc = stillOpen
-        .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tk.scores").as("__ss"),
-          posexplode(col("__tk.keys")).as(Seq("__pos", "__tk64")))
-        .select(col("__qkey"), col("__qlat"), col("__qlon"),
-          element_at(col("__ss"), col("__pos") + 1).as("__score"), col("__tk64"))
-        .where(col("__score") =!= lit(SentinelScore))
+      acc = openState(stillOpen)
       lo = r + 1
     }
-    tgt.unpersist()
+    tgt0.unpersist()
     if (aggds.isEmpty) { // zero rounds ran: the query set was empty
       org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
       return queries.limit(0).select(col(qKey),
@@ -221,11 +394,12 @@ object Knn {
       if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val maxRings = (1L << res).toInt // ring > grid size is impossible
 
-    val tgt = targets.select(
+    val tgt0 = targets.select(
       col(tKey).as("__tkey"), col(tLat).as("__tlat"), col(tLon).as("__tlon"))
       .withColumn("__tcell", cell_id(col("__tlat"), col("__tlon"), res))
       .persist()
-    tgt.count()
+    // same compact-layer broadcast gate as applyAgg (see note there)
+    val tgt = if (tgt0.count() * 48 <= broadcastBytesLimit(tgt0)) broadcast(tgt0) else tgt0
 
     var unresolved = ckpt(queries.select(
       col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon"))
@@ -290,7 +464,7 @@ object Knn {
         .select("__qkey", "__qlat", "__qlon", "__tkey", "dist_sq")
       lo = r + 1
     }
-    tgt.unpersist()
+    tgt0.unpersist()
     if (finishedRounds.isEmpty && acc == null) { // zero rounds: empty query set
       org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(unresolved)
       return queries.limit(0).select(col(qKey),

@@ -119,6 +119,35 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(local == reliable)
   }
 
+  test("kNN k=1 declarative path equals brute force and the windowed path") {
+    // k = 1 takes the MaxScoreMinKey declarative-aggregate branch (the
+    // fully-codegen'd nearest-neighbor join); its row set must equal both
+    // the brute-force oracle and the string-key windowed fallback
+    val queries = pts.take(150).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
+      .toDF("qid", "lat", "lon")
+    val centroids = polys.map { p =>
+      val (cx, cy) = Geometry.vertexCentroid(p.ring)
+      (p.polygon_id, cy, cx)
+    }.toDF("tid", "tlat", "tlon")
+    val got = Knn(queries, "qid", "lat", "lon", centroids, "tid", "tlat", "tlon", 1, res = 4)
+      .select("qid", "tid", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = pts.take(150).map { case (pid, e, lat, lon) =>
+      val qid = pid * 10 + e
+      val (tid, _) = polys.map { p =>
+        val (cx, cy) = Geometry.vertexCentroid(p.ring)
+        (p.polygon_id, Geometry.distSq(lon, lat, cx, cy))
+      }.minBy { case (t, d) => (d, t) }
+      (qid, tid, 1)
+    }.toSet
+    assert(got == want)
+    val centroidsStr = centroids.select(
+      format_string("%06d", col("tid")).as("tid"), col("tlat"), col("tlon"))
+    val winPath = Knn(queries, "qid", "lat", "lon", centroidsStr, "tid", "tlat", "tlon", 1, res = 4)
+      .select("qid", "tid", "rank").as[(Long, String, Int)].collect()
+      .map { case (q, t, r) => (q, t.toLong, r) }.toSet
+    assert(got == winPath)
+  }
+
   test("kNN windowed fallback (string target keys) equals the aggregate path") {
     val queries = pts.take(60).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
       .toDF("qid", "lat", "lon")

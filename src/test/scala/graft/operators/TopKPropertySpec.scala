@@ -3,8 +3,8 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
- * Algebraic laws of the bounded top-k buffer: any split of the input
- * into reduce/merge trees must equal sort-take — this is exactly what
+ * Algebraic laws of the bounded top-k state: any split of the input
+ * into insert/merge trees must equal sort-take — this is exactly what
  * Spark's partial aggregation assumes when it reduces map-side and
  * merges post-shuffle in arbitrary order. (Property-style over seeded
  * deterministic draws; no scalatestplus bridge in the offline cache.)
@@ -18,10 +18,13 @@ class TopKPropertySpec extends AnyFunSuite {
       c > 0 || (c == 0 && k1 < k2)
     }.take(k)
 
-  private def buf(agg: TopKByScore, xs: Seq[(Double, Long)]): TopKBuf =
-    xs.foldLeft(agg.zero)(agg.reduce)
+  private def buf(k: Int, xs: Seq[(Double, Long)]): TopKAggState = {
+    val b = new TopKAggState(k)
+    xs.foreach { case (s, key) => b.insert(s, key) }
+    b
+  }
 
-  private def toSeq(b: TopKBuf): Seq[(Double, Long)] =
+  private def toSeq(b: TopKAggState): Seq[(Double, Long)] =
     b.scores.take(b.n).zip(b.keys.take(b.n)).toSeq
 
   /** Deterministic draw: n pairs with coarse scores (forces ties), a
@@ -42,24 +45,24 @@ class TopKPropertySpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(s1) == java.lang.Double.doubleToLongBits(s2) && k1 == k2
     }
 
-  test("sequential reduce equals sort-take for any k") {
+  test("sequential insert equals sort-take for any k") {
     for (seed <- 0 until 300) {
       val xs = draw(seed)
       val k = 1 + (seed % 10)
-      assert(eq(toSeq(buf(new TopKByScore(k), xs)), sortTake(xs, k)), s"seed=$seed k=$k")
+      assert(eq(toSeq(buf(k, xs)), sortTake(xs, k)), s"seed=$seed k=$k")
     }
   }
 
-  test("any partition into reduce+merge equals sort-take (partial-agg law)") {
+  test("any partition into insert+merge equals sort-take (partial-agg law)") {
     for (seed <- 0 until 300) {
       val xs = draw(seed + 1000)
       val k = 1 + (seed % 8)
       val parts = 1 + (seed % 5)
-      val agg = new TopKByScore(k)
       val chunks =
         if (xs.isEmpty) Seq(Seq.empty[(Double, Long)])
         else xs.grouped(math.max(1, xs.size / parts)).toSeq
-      val merged = chunks.map(c => buf(agg, c)).foldLeft(agg.zero)(agg.merge)
+      val merged = new TopKAggState(k)
+      chunks.foreach(c => merged.mergeFrom(buf(k, c)))
       assert(eq(toSeq(merged), sortTake(xs, k)), s"seed=$seed k=$k parts=$parts")
     }
   }
@@ -67,15 +70,31 @@ class TopKPropertySpec extends AnyFunSuite {
   test("merge is associative and order-insensitive") {
     for (seed <- 0 until 200) {
       val k = 1 + (seed % 6)
-      val agg = new TopKByScore(k)
       val (a, b, c) = (draw(seed + 2000), draw(seed + 3000), draw(seed + 4000))
-      // merge may mutate its left argument (the Aggregator contract Spark
-      // relies on), so rebuild fresh buffers for each expression
-      val left = toSeq(agg.merge(agg.merge(buf(agg, a), buf(agg, b)), buf(agg, c)))
-      val right = toSeq(agg.merge(buf(agg, a), agg.merge(buf(agg, b), buf(agg, c))))
-      val swapped = toSeq(agg.merge(agg.merge(buf(agg, c), buf(agg, a)), buf(agg, b)))
+      // mergeFrom mutates its receiver (the contract ObjectHashAggregate
+      // relies on), so rebuild fresh states for each expression
+      def m(parts: Seq[Seq[(Double, Long)]]): Seq[(Double, Long)] = {
+        val acc = new TopKAggState(k)
+        parts.foreach(p => acc.mergeFrom(buf(k, p)))
+        toSeq(acc)
+      }
+      val left = m(Seq(a, b, c))
+      val right = m(Seq(a, c, b))
+      val swapped = m(Seq(c, a, b))
       assert(eq(left, right) && eq(left, swapped), s"seed=$seed k=$k")
       assert(eq(left, sortTake(a ++ b ++ c, k)))
+    }
+  }
+
+  test("serialize/deserialize round-trips the live prefix (spill format)") {
+    for (seed <- 0 until 100) {
+      val k = 1 + (seed % 7)
+      val b = buf(k, draw(seed + 5000))
+      val expr = TopKAggExpr(k,
+        org.apache.spark.sql.GraftBridge.expression(org.apache.spark.sql.functions.lit(0.0)),
+        org.apache.spark.sql.GraftBridge.expression(org.apache.spark.sql.functions.lit(0L)))
+      val back = expr.deserialize(expr.serialize(b))
+      assert(eq(toSeq(back), toSeq(b)), s"seed=$seed k=$k")
     }
   }
 }
