@@ -19,10 +19,9 @@ import org.apache.spark.sql.functions._
 object BenchPipeline {
   def main(args: Array[String]): Unit = {
     val Array(cores, mode, pagesPath, polysPath) = args
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-pipeline-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toInt * 4)
       .config("spark.sql.adaptive.enabled", "true")
       // the bench fixture is many small parquet files; with the 128 MB
       // default they coalesce into ~4 input splits and the parse stage
@@ -30,26 +29,34 @@ object BenchPipeline {
       // and splits abound — these settings make the bench representative.
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "131072")
-      // the kNN pipeline's TopKByScore aggregate has one group per query;
-      // at the default threshold (128 groups) ObjectHashAggregate falls
-      // back to SORT-based aggregation, reintroducing the candidate sort
-      // the aggregator exists to avoid. Top-k buffers are ~100 B each, so
-      // millions of in-memory groups per partition are fine.
+      // per-query top-k aggregates blow past the 128-group default at
+      // which ObjectHashAggregate silently degrades to SORT-based
+      // aggregation, reintroducing the candidate sort the aggregate
+      // exists to avoid. Top-k buffers are ~100 B each, so millions of
+      // in-memory groups per partition are fine.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "50000000")
       // shuffle/spill files on tmpfs: the sandbox's /tmp is a slow shared
       // virtual disk whose bandwidth does not scale with cores (measured:
       // it froze the 4c→16c ratio at ~2.4 on shuffle-heavy rounds); a real
       // cluster executor writes shuffle to fast node-local NVMe
       .config("spark.local.dir", "/dev/shm/graft-bench")
-      // equal-size keyed state joins (kNN's open ⟕ round-best): hash join
-      // beats sort-merge — no per-round re-sort of both 8-byte-key sides
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      // keep shuffle partition counts stable so the kNN loop's
-      // checkpoint-preserved hash partitioning lines up round over round
-      // (coalescing would force a re-exchange of the carried state)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // regime-specific tuning, each documented in SCALE.md/BASELINE.md:
+    //  - kNN (aggregation/state-heavy iterative loop): 4× cores shuffle
+    //    partitions shrink per-task live sets during aggregation (cheaper
+    //    young GCs); hash join for the equal-size keyed state fold (no
+    //    per-round re-sort); stable partition counts so the loop's
+    //    checkpoint-preserved partitioning lines up round over round.
+    //  - spatial (map-heavy broadcast pipeline): the r2/r3-calibrated
+    //    shape — partitions = cores, AQE coalescing on.
+    val spark = (if (mode == "knn")
+      builder
+        .config("spark.sql.shuffle.partitions", cores.toInt * 4)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    else
+      builder.config("spark.sql.shuffle.partitions", cores.toInt)
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def runKnn(): Long = {

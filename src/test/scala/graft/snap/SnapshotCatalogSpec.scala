@@ -145,6 +145,34 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(rerun == 0)
   }
 
+  test("manifest bytes stay O(waves) at 64 waves; vacuum keeps deep time travel") {
+    val root = freshRoot()
+    val docs = (0L until 256L).map(i => (i, s"u$i", i)).toDF("id", "url", "v")
+    SnapshotCatalog.resumableRun(spark, docs, "url", waves = 64, root, "t64")(
+      identity[org.apache.spark.sql.DataFrame])
+    val dir = java.nio.file.Paths.get(root, "t64")
+    val sizes = (0 until 64).map(id => Files.size(dir.resolve(s"manifest-$id.json")))
+    // growth per wave is the bookkeeping only (wave id in three lists/maps
+    // + a sidecar filename ≈ tens of bytes) — the O(waves²) inline-lineage
+    // shape this guards against grew by a full lineage copy per commit
+    val perWave = (sizes.last - sizes.head).toDouble / 63
+    assert(perWave < 120, s"manifest grows $perWave B/wave")
+    assert(sizes.last < 16 * 1024, s"64-wave manifest is ${sizes.last} B")
+    // hash-wave assignment can leave a few waves empty at 256 keys —
+    // lineage rows exist exactly for waves that processed data
+    val nonEmptyWaves = SnapshotCatalog.currentManifest(root, "t64").get
+      .rowsPerWave.count(_._2 > 0)
+    val stats = SnapshotCatalog.vacuum(root, "t64", keepLast = 8)
+    assert(stats.manifests == 56, stats)
+    // kept ids stay time-travelable; expired ids fail loudly; the FULL
+    // 64-wave lineage history survives via sidecars
+    assert(SnapshotCatalog.readAt(spark, root, "t64", 63L).count() == 256)
+    assert(SnapshotCatalog.readAt(spark, root, "t64", 56L).count() > 0)
+    intercept[IllegalArgumentException](SnapshotCatalog.readAt(spark, root, "t64", 55L))
+    assert(SnapshotCatalog.lineage(spark, root, "t64")
+      .select("wave").distinct().count() == nonEmptyWaves)
+  }
+
   test("lineage lives in per-commit sidecars; manifests stay O(waves)") {
     val root = freshRoot()
     SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "t5")(identity[org.apache.spark.sql.DataFrame])
