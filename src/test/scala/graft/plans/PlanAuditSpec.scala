@@ -70,6 +70,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("summarizeNodes carries html through the generator — no join") {
+    // the former shape re-joined pages to re-attach html, re-shuffling
+    // every page's full bytes once per node row
+    val df = graft.api.Engine.summarizeNodes(graft.sources.PagesFromDocs(docs))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("kNN k=1 round aggregate fuses into whole-stage codegen (HashAggregate)") {
+    // the declarative MaxScoreMinKey buffer is fixed-width, so the
+    // partial aggregation must plan as HashAggregate (fusible), not
+    // ObjectHashAggregate (whose span boundary copies every candidate)
+    val pts = customer.limit(500).select(col("c_custkey").as("qk"),
+      (((col("c_custkey") * 7919) % 17000 - 8500).cast("double") / 100.0).as("lat"),
+      (((col("c_custkey") * 104729) % 36000 - 18000).cast("double") / 100.0).as("lon"))
+    val tgts = customer.limit(200).select(col("c_custkey").as("tk"),
+      (((col("c_custkey") * 104729) % 16000 - 8000).cast("double") / 100.0).as("tlat"),
+      (((col("c_custkey") * 7919) % 35000 - 17500).cast("double") / 100.0).as("tlon"))
+    val df = graft.operators.Knn(pts, "qk", "lat", "lon", tgts, "tk", "tlat", "tlon",
+      k = 1, res = 4)
+    // the per-round plans are consumed by the loop's checkpoints; audit
+    // the same aggregate shape directly instead
+    df.count()
+    val agg = pts.limit(100)
+      .select(col("qk").as("__qkey"), lit(-1.0).as("__score"), col("qk").as("__tk64"))
+      .groupBy("__qkey")
+      .agg(graft.operators.TopKByScore.best(col("__score"), col("__tk64")).as("__new"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("scalar cell expressions stay inside whole-stage codegen") {
     val df = customer.select(graft.functions.cell_id(
       (col("c_custkey") % 180 - 90).cast("double"),
