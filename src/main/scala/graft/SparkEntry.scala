@@ -422,6 +422,15 @@ object SparkEntry {
         "n_nationkey", "cy", "cx", k = 3, res = 3)
         .select(col("c_custkey"), col("n_nationkey"), col("rank").cast("long").as("rank"))),
 
+    // k = 1 exercises the fully-codegen'd declarative nearest path
+    // (Knn.applyNearest / MaxScoreMinKey), a different code path from
+    // q24's general-k aggregate — both must match the brute-force oracle
+    "q75_nearest" -> ((s, d) =>
+      Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
+        nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
+        "n_nationkey", "cy", "cx", k = 1, res = 3)
+        .select(col("c_custkey"), col("n_nationkey"), col("rank").cast("long").as("rank"))),
+
     "q25_raster_tiles" -> ((s, d) =>
       Tiler.raster(customerPoints(s, d), "lat", "lon", zoom = 3)
         .select(col("tile_id"), col("zoom").cast("long").as("zoom"),
@@ -856,6 +865,14 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY c_custkey
          |      ORDER BY (cx-lon)*(cx-lon) + (cy-lat)*(cy-lat), n_nationkey) AS BIGINT) AS rank
          |  FROM pts, ctr) WHERE rank <= 3""".stripMargin),
+
+    "q75_nearest" ->
+      (s"""WITH $PointsSqlCte, $CentroidSqlCte
+         |SELECT c_custkey, n_nationkey, rank FROM (
+         |  SELECT c_custkey, n_nationkey,
+         |    CAST(row_number() OVER (PARTITION BY c_custkey
+         |      ORDER BY (cx-lon)*(cx-lon) + (cy-lat)*(cy-lat), n_nationkey) AS BIGINT) AS rank
+         |  FROM pts, ctr) WHERE rank <= 1""".stripMargin),
 
     "q25_raster_tiles" ->
       (s"""WITH $PointsSqlCte,
