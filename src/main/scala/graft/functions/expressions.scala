@@ -105,6 +105,91 @@ case class DotProductExpr(a: Expression, b: Expression) extends BinaryExpression
 /** Exact point-in-polygon predicate (the post-equi-join refinement of the
  * two-phase spatial join, SURVEY §2.3 J5). Ring = ArrayType(DoubleType)
  * interleaved [x0,y0,x1,y1,…]. Codegen'd: one static call per row. */
+/** Runtime kernels reading Catalyst ArrayData DIRECTLY (no
+ * `.toDoubleArray()` copy per candidate row — the copy is exactly the
+ * per-row cost the index exists to remove on many-edge rings). Math is
+ * the same crossing rule as [[graft.geo.Geometry.pointInPolygon]];
+ * decision equality with the pure-array kernels is property-pinned in
+ * GeometrySpec. */
+object PipRt {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  def pointInRingIndexed(x: Double, y: Double,
+      ring: ArrayData, idx: ArrayData): Boolean = {
+    val n = ring.numElements() / 2
+    if (n < 3) return false
+    val yMin = idx.getDouble(0); val yMax = idx.getDouble(1)
+    val bands = idx.getDouble(2).toInt
+    if (y < yMin || y > yMax) return false
+    val h = (yMax - yMin) / bands
+    val b =
+      if (h <= 0) 0
+      else math.min(bands - 1, math.max(0, ((y - yMin) / h).toInt))
+    val from = idx.getDouble(3 + b).toInt
+    val until = idx.getDouble(3 + b + 1).toInt
+    var inside = false
+    var e = from
+    while (e < until) {
+      val i = idx.getDouble(3 + bands + 1 + e).toInt
+      val j = (i + n - 1) % n
+      val xi = ring.getDouble(2 * i); val yi = ring.getDouble(2 * i + 1)
+      val xj = ring.getDouble(2 * j); val yj = ring.getDouble(2 * j + 1)
+      if ((yi > y) != (yj > y)) {
+        val xCross = (xj - xi) * (y - yi) / (yj - yi) + xi
+        if (x < xCross) inside = !inside
+      }
+      e += 1
+    }
+    inside
+  }
+}
+
+/** Y-banded edge interval index of a ring (see
+ * [[graft.geo.Geometry.yBandIndex]] for the encoding and the exactness
+ * argument) — built ONCE per polygon row (cold side), consumed per
+ * candidate pair by [[PointInPolygonIndexedExpr]]. */
+case class PolygonYIndexExpr(ring: Expression, bands: Expression)
+    extends BinaryExpression {
+  override def left: Expression = ring
+  override def right: Expression = bands
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(rv: Any, bv: Any): Any =
+    new GenericArrayData(Geometry.yBandIndex(
+      rv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+      bv.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (rv, bv) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.geo.Geometry.yBandIndex($rv.toDoubleArray(), $bv))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(ring = l, bands = r)
+}
+
+/** Indexed exact PIP refinement (north rule: "ray-casting with
+ * interval-tree edge index") — codegen'd, reads ring AND index straight
+ * from ArrayData (zero per-candidate copies; the plain
+ * [[PointInPolygonExpr]] copies the ring per row, fine for small rings). */
+case class PointInPolygonIndexedExpr(
+    x: Expression, y: Expression, ring: Expression, idx: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = ring
+  override def fourth: Expression = idx
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(xv: Any, yv: Any, rv: Any, iv: Any): Any =
+    PipRt.pointInRingIndexed(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      rv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      iv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xv, yv, rv, iv) =>
+      s"graft.functions.PipRt.pointInRingIndexed($xv, $yv, $rv, $iv)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(x = f, y = s, ring = t, idx = q)
+}
+
 case class PointInPolygonExpr(x: Expression, y: Expression, ring: Expression)
     extends TernaryExpression {
   override def first: Expression = x

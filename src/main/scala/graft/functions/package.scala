@@ -30,6 +30,15 @@ package object functions {
   def point_in_polygon(x: Column, y: Column, ring: Column): Column =
     column(PointInPolygonExpr(expression(x), expression(y), expression(ring)))
 
+  /** Y-banded edge interval index of a ring (build once per polygon). */
+  def polygon_y_index(ring: Column, bands: Int): Column =
+    column(PolygonYIndexExpr(expression(ring), expression(lit(bands))))
+
+  /** Exact PIP via the edge index (north rule's indexed refinement). */
+  def point_in_polygon_indexed(x: Column, y: Column, ring: Column, idx: Column): Column =
+    column(PointInPolygonIndexedExpr(
+      expression(x), expression(y), expression(ring), expression(idx)))
+
   /** BINARY html → BINARY extracted text (byte-identity kernel). */
   def extract_text_bytes(html: Column): Column =
     column(ExtractedTextExpr(expression(html)))
@@ -87,6 +96,8 @@ package object functions {
     "cell_center_lat" -> (es => CellCenterLatExpr(es.head)),
     "cell_center_lon" -> (es => CellCenterLonExpr(es.head)),
     "point_in_polygon" -> (es => PointInPolygonExpr(es(0), es(1), es(2))),
+    "polygon_y_index" -> (es => PolygonYIndexExpr(es(0), es(1))),
+    "point_in_polygon_indexed" -> (es => PointInPolygonIndexedExpr(es(0), es(1), es(2), es(3))),
     "extract_text_bytes" -> (es => ExtractedTextExpr(es.head)),
     "extract_text" -> (es => Utf8ReplaceDecodeExpr(ExtractedTextExpr(es.head))),
     "utf8_decode_replace" -> (es => Utf8ReplaceDecodeExpr(es.head)),

@@ -36,6 +36,97 @@ object Geometry {
     inside
   }
 
+  /**
+   * Y-banded edge interval index — the "interval-tree edge index" role
+   * of the north rule's PIP refinement, in the flat-array form that maps
+   * onto ONE ArrayType(DoubleType) column. Edges are bucketed into
+   * `bands` equal y-bands of the ring's y-extent; a ray-cast at query y
+   * only visits its band's edges (the straddle test inside the crossing
+   * rule keeps exactness — a non-straddling edge in the band contributes
+   * nothing, and every straddling edge's interval overlaps the band).
+   * Worst case degrades to the plain scan (all edges in one band); for
+   * real-world many-edge rings (coastlines) expected cost per candidate
+   * drops from O(E) to O(E/bands).
+   *
+   * Encoding: [yMin, yMax, nBands, off_0 … off_nBands, id_0 … id_m]
+   * (CSR offsets into the edge-id list; all values are exact in double).
+   * Edge id i is the edge between vertex i and vertex (i-1+n)%n —
+   * matching [[pointInPolygon]]'s loop orientation.
+   */
+  def yBandIndex(ring: Array[Double], bands: Int): Array[Double] = {
+    require(bands >= 1)
+    val n = ring.length / 2
+    var yMin = Double.MaxValue; var yMax = -Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val y = ring(2 * i + 1)
+      if (y < yMin) yMin = y
+      if (y > yMax) yMax = y
+      i += 1
+    }
+    if (n == 0) { yMin = 0; yMax = 0 }
+    val h = (yMax - yMin) / bands
+    def bandOf(y: Double): Int =
+      if (h <= 0) 0
+      else math.min(bands - 1, math.max(0, ((y - yMin) / h).toInt))
+    // count, prefix, fill (CSR)
+    val counts = new Array[Int](bands)
+    def edgeBands(i: Int)(f: Int => Unit): Unit = {
+      val j = (i + n - 1) % n
+      val yi = ring(2 * i + 1); val yj = ring(2 * j + 1)
+      val lo = bandOf(math.min(yi, yj)); val hi = bandOf(math.max(yi, yj))
+      var b = lo
+      while (b <= hi) { f(b); b += 1 }
+    }
+    i = 0
+    while (i < n) { edgeBands(i)(b => counts(b) += 1); i += 1 }
+    val offsets = new Array[Int](bands + 1)
+    i = 0
+    while (i < bands) { offsets(i + 1) = offsets(i) + counts(i); i += 1 }
+    val ids = new Array[Int](offsets(bands))
+    val cursor = offsets.clone()
+    i = 0
+    while (i < n) { edgeBands(i)(b => { ids(cursor(b)) = i; cursor(b) += 1 }); i += 1 }
+    val out = new Array[Double](3 + bands + 1 + ids.length)
+    out(0) = yMin; out(1) = yMax; out(2) = bands.toDouble
+    i = 0
+    while (i <= bands) { out(3 + i) = offsets(i).toDouble; i += 1 }
+    i = 0
+    while (i < ids.length) { out(3 + bands + 1 + i) = ids(i).toDouble; i += 1 }
+    out
+  }
+
+  /** Ray-casting PIP over [[yBandIndex]] — bit-identical decision to
+   * [[pointInPolygon]] (same crossing rule over the band's straddling
+   * edges; property-pinned in GeometrySpec). */
+  def pointInPolygonIndexed(x: Double, y: Double,
+      ring: Array[Double], idx: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    if (n < 3) return false
+    val yMin = idx(0); val yMax = idx(1); val bands = idx(2).toInt
+    if (y < yMin || y > yMax) return false
+    val h = (yMax - yMin) / bands
+    val b =
+      if (h <= 0) 0
+      else math.min(bands - 1, math.max(0, ((y - yMin) / h).toInt))
+    val from = idx(3 + b).toInt
+    val until = idx(3 + b + 1).toInt
+    var inside = false
+    var e = from
+    while (e < until) {
+      val i = idx(3 + bands + 1 + e).toInt
+      val j = (i + n - 1) % n
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if ((yi > y) != (yj > y)) {
+        val xCross = (xj - xi) * (y - yi) / (yj - yi) + xi
+        if (x < xCross) inside = !inside
+      }
+      e += 1
+    }
+    inside
+  }
+
   /** Bounding box (lonMin, latMin, lonMax, latMax). */
   def bbox(ring: Array[Double]): (Double, Double, Double, Double) = {
     var xmin = Double.MaxValue; var ymin = Double.MaxValue

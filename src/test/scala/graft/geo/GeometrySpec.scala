@@ -37,6 +37,29 @@ class GeometrySpec extends AnyFunSuite {
     }
   }
 
+  test("indexed PIP decision-identical to plain ray casting (property)") {
+    // random closed polylines (validity not required — the even-odd parity
+    // rule is well-defined for ANY ring and both kernels must agree),
+    // probed on a grid hitting band boundaries, vertex y-levels, and
+    // points outside the y-extent
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 200) {
+      val n = 3 + rnd.nextInt(30)
+      val ring = Array.fill(2 * n)(rnd.nextDouble() * 20 - 5)
+      for (bands <- Seq(1, 2, 7, 32)) {
+        val idx = Geometry.yBandIndex(ring, bands)
+        val ys = (0 until 32).map(k => -6.0 + 0.7 * k) ++
+          (0 until n).map(i => ring(2 * i + 1)) // exact vertex y-levels
+        val xs = (0 until 17).map(k => -6.0 + 1.3 * k)
+        for (y <- ys; x <- xs) {
+          val plain = Geometry.pointInPolygon(x, y, ring)
+          val indexed = Geometry.pointInPolygonIndexed(x, y, ring, idx)
+          assert(plain == indexed, s"trial=$trial bands=$bands p=($x,$y)")
+        }
+      }
+    }
+  }
+
   test("bbox") {
     assert(Geometry.bbox(diamond) == ((1.0, 1.0, 9.0, 9.0)))
   }

@@ -51,6 +51,21 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == bruteForcePairs)
   }
 
+  test("spatial join with the edge interval index gives identical rows") {
+    // the indexed refinement (ArrayData-native y-banded ray cast) must be
+    // decision-identical to the plain PIP over the whole fixture, in both
+    // the broadcast and salted regimes
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("page_id", "entity_idx", "polygon_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val plain = rows(SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7))
+    val indexed = rows(SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7,
+      edgeIndexBands = 8))
+    val indexedSalted = rows(SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 7,
+      saltBuckets = 4, edgeIndexBands = 3))
+    assert(indexed == plain && indexedSalted == plain)
+  }
+
   test("spatial join at a different res gives the same rows (res-invariance)") {
     val got = SpatialJoin(ptsDf, polysDf, $"lat", $"lon", $"ring", res = 4)
       .select("page_id", "entity_idx", "polygon_id")
