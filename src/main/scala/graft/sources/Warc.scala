@@ -127,21 +127,57 @@ object Warc {
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, raw) =>
-        val seg =
-          if (path.endsWith(".gz")) gunzip(raw).getOrElse(Array.empty[Byte])
-          else raw
-        parseSegment(seg).iterator
-          .filter(r => r.header("WARC-Type").contains("response"))
-          .flatMap { r =>
-            for {
-              uri <- r.header("WARC-Target-URI")
-              ts <- r.header("WARC-Date").flatMap(d =>
-                scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(d))).toOption)
-            } yield (uri, ts, r.payload)
-          }
-      }
+      .flatMap { case (path, raw) => segmentPages(path, raw) }
       .toDF("url", "warc_ts", "html")
+  }
+
+  /** Streaming flavour of [[readPages]] — the Common-Crawl ingestion
+   * front door: segments LAND in a directory (the shape CC distribution
+   * takes: thousands of independent .warc.gz files appearing over time),
+   * Structured Streaming discovers each exactly once via the file
+   * source's checkpointed log, and the same record walk runs per
+   * segment. Compose with [[graft.streaming.Ingest.snapshotSink]] for an
+   * end-to-end exactly-once "crawl segments → snapshot table" pipeline
+   * (micro-batch replays are absorbed by wave idempotence + the
+   * checkpoint-ownership marker). `maxFilesPerTrigger` bounds per-batch
+   * work — segment-granular backpressure. */
+  def readPagesStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    import spark.implicits._
+    // streaming sources require an explicit schema; this is binaryFile's
+    // fixed one (path, modificationTime, length, content)
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) => segmentPages(path, raw) }
+      .toDF("url", "warc_ts", "html")
+  }
+
+  /** Shared per-segment record walk of [[readPages]]/[[readPagesStream]]. */
+  private def segmentPages(path: String,
+      raw: Array[Byte]): Iterator[(String, java.sql.Timestamp, Array[Byte])] = {
+    val seg =
+      if (path.endsWith(".gz")) gunzip(raw).getOrElse(Array.empty[Byte])
+      else raw
+    parseSegment(seg).iterator
+      .filter(r => r.header("WARC-Type").contains("response"))
+      .flatMap { r =>
+        for {
+          uri <- r.header("WARC-Target-URI")
+          ts <- r.header("WARC-Date").flatMap(d =>
+            scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(d))).toOption)
+        } yield (uri, ts, r.payload)
+      }
   }
 
   /** Write pages (url, warc_ts, html) as one .warc segment per partition

@@ -26,6 +26,40 @@ class WarcSpec extends AnyFunSuite {
     assert(gotRows == wantRows && wantRows.size == 300)
   }
 
+  test("streaming ingestion: segments → readPagesStream → snapshotSink equals batch, exactly once") {
+    // the CC front door: gzip segments land in a dir; the file-source
+    // checkpoint discovers each once, pages flow through the same record
+    // walk, and snapshotSink commits micro-batches as idempotent waves
+    val dir = Files.createTempDirectory("graft_warcs_in").toString
+    val root = Files.createTempDirectory("graft_warcs_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_warcs_ck").toString
+    val pages = Fixtures.pages(spark, 120, partitions = 3).toDF()
+      .select("url", "warc_ts", "html")
+    Warc.writePages(pages, dir, gzip = true)
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("url"), md5(col("html")).as("html_md5"),
+        length(col("html")).cast("long").as("html_len"))
+    // one file per batch exercises multi-wave commits
+    val q = graft.streaming.Ingest.snapshotSink(
+        Warc.readPagesStream(spark, dir, maxFilesPerTrigger = 1), root, "cc_pages", ckpt)(transform)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = graft.snap.SnapshotCatalog.read(spark, root, "cc_pages")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = transform(Warc.readPages(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && want.size == 120)
+    val waves = graft.snap.SnapshotCatalog.currentManifest(root, "cc_pages").get.completedWaves
+    assert(waves.size > 1, s"expected one wave per segment file, got $waves")
+    // restart over the same checkpoint: no new data, no new waves
+    val q2 = graft.streaming.Ingest.snapshotSink(
+        Warc.readPagesStream(spark, dir, maxFilesPerTrigger = 1), root, "cc_pages", ckpt)(transform)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(graft.snap.SnapshotCatalog.currentManifest(root, "cc_pages").get
+      .completedWaves == waves)
+  }
+
   test("gzipped segments (per-record members, CC layout) round-trip identically") {
     val dir = Files.createTempDirectory("graft_warcgz").toString
     val pages = Fixtures.pages(spark, 150, partitions = 3).toDF()
