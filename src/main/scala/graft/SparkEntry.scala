@@ -416,6 +416,13 @@ object SparkEntry {
         col("lat"), col("lon"), col("ring"), res = 6)
         .select("c_custkey", "n_nationkey")),
 
+    // same join refined through the y-banded edge interval index (the
+    // north rule's indexed ray cast) — must produce the identical row set
+    "q76_spatial_join_indexed" -> ((s, d) =>
+      SpatialJoin(customerPoints(s, d), nationPolygons(s, d),
+        col("lat"), col("lon"), col("ring"), res = 6, edgeIndexBands = 4)
+        .select("c_custkey", "n_nationkey")),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -854,6 +861,11 @@ object SparkEntry {
          |FROM pts GROUP BY 1""".stripMargin),
 
     "q23_spatial_join" ->
+      (s"""WITH $PointsSqlCte, $CentroidSqlCte
+         |SELECT c_custkey, n_nationkey FROM pts, ctr
+         |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
+
+    "q76_spatial_join_indexed" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
          |SELECT c_custkey, n_nationkey FROM pts, ctr
          |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
