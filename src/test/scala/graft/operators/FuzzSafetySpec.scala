@@ -31,6 +31,36 @@ class FuzzSafetySpec extends AnyFunSuite {
     out
   }
 
+  test("yBandIndex/pointInPolygonIndexed total and plain-identical on adversarial rings") {
+    // rings with NaN / ±Inf / denormal coordinates: the indexed ray cast
+    // must neither throw nor diverge from the plain one (both skip
+    // non-finite edges through the same NaN-propagating crossing test)
+    import graft.geo.Geometry
+    def coord(seed: Long): Double = (mix(seed) % 13).toInt match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => Double.NegativeInfinity
+      case 3 => java.lang.Double.MIN_VALUE
+      case 4 => -0.0
+      case 5 => 1e308
+      case _ => (mix(seed * 7 + 1) % 4001).toInt / 100.0 - 20.0
+    }
+    for (trial <- 0 until 300) {
+      val n = 3 + ((mix(trial) & 0x7fffffff) % 12).toInt
+      val ring = Array.tabulate(2 * n)(i => coord(trial * 10007L + i))
+      for (bands <- Seq(1, 3, 16)) {
+        val idx = Geometry.yBandIndex(ring, bands)
+        for (p <- 0 until 40) {
+          val x = coord(trial * 65537L + p * 2)
+          val y = coord(trial * 65537L + p * 2 + 1)
+          val plain = Geometry.pointInPolygon(x, y, ring)
+          val indexed = Geometry.pointInPolygonIndexed(x, y, ring, idx)
+          assert(plain == indexed, s"trial=$trial bands=$bands p=($x,$y) ring=${ring.toSeq}")
+        }
+      }
+    }
+  }
+
   test("decodePpm is total: random bytes and corrupted headers never throw") {
     (0 until 3000).foreach { s => Multimodal.decodePpm(randomBytes(s, 200)) }
     // random tails behind a plausible magic (exercises the header parser)
