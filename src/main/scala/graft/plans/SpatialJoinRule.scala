@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{CellCoverExpr, CellIdExpr, PointInPolygonExpr}
+import graft.functions.{CellCoverExpr, CellIdExpr, PointInPolygonExpr,
+  PointInPolygonIndexedExpr, PolygonYIndexExpr}
 
 /**
  * Optimizer rule (the SURVEY §7.3 "sugar Rule" stretch goal): rewrites a
@@ -41,9 +42,18 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
 
   val ResConfKey = "spark.graft.spatialJoin.res"
 
+  /** >0 ⇒ the rewrite's exact-PIP residual runs through the y-banded edge
+   * interval index (built once per polygon row before the cover explode)
+   * — the knob for many-edge polygon layers; see SpatialJoin scaladoc. */
+  val EdgeIndexBandsConfKey = "spark.graft.spatialJoin.edgeIndexBands"
+
   private def res: Int =
     try conf.getConfString(ResConfKey, "7").toInt
     catch { case _: NumberFormatException => 7 }
+
+  private def edgeIndexBands: Int =
+    try conf.getConfString(EdgeIndexBandsConfKey, "0").toInt
+    catch { case _: NumberFormatException => 0 }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, joinType @ (Inner | Cross),
@@ -51,10 +61,15 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
         if pip.references.nonEmpty && x.deterministic && y.deterministic &&
           ring.deterministic && sidesResolve(x, y, ring, left, right) =>
       val r = res
+      val bands = edgeIndexBands
       // left + cell id of the point at the blocking resolution
       val cellAlias = Alias(CellIdExpr(y, x, Literal(r)), "__graft_cell")()
       val newLeft = Project(left.output :+ cellAlias, left)
-      // right ⋈ generate cover cells
+      // right (+ optional per-polygon edge index) ⋈ generate cover cells
+      val idxAlias =
+        if (bands > 0) Some(Alias(PolygonYIndexExpr(ring, Literal(bands)), "__graft_pidx")())
+        else None
+      val rightBase = idxAlias.fold(right)(a => Project(right.output :+ a, right))
       val coverAttr = AttributeReference("__graft_cover", LongType, nullable = false)()
       val newRight = Generate(
         CellCoverExpr(ring, Literal(r)),
@@ -62,8 +77,10 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
         outer = false,
         qualifier = None,
         generatorOutput = Seq(coverAttr),
-        child = right)
-      val cond = And(EqualTo(cellAlias.toAttribute, coverAttr), pip)
+        child = rightBase)
+      val residual = idxAlias.fold(pip: Expression)(a =>
+        PointInPolygonIndexedExpr(x, y, ring, a.toAttribute))
+      val cond = And(EqualTo(cellAlias.toAttribute, coverAttr), residual)
       Project(j.output, Join(newLeft, newRight, Inner, Some(cond), hint))
   }
 

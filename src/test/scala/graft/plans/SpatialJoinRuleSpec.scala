@@ -47,6 +47,23 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("edgeIndexBands conf routes the rewrite's residual through the indexed PIP") {
+    SpatialJoinRule.install(spark)
+    spark.conf.set(SpatialJoinRule.EdgeIndexBandsConfKey, "4")
+    try {
+      val naive = ptsDf.join(polysDf, point_in_polygon($"lon", $"lat", $"ring"))
+      val plan = naive.queryExecution.optimizedPlan.toString
+      assert(plan.contains("pointinpolygonindexedexpr") && plan.contains("__graft_pidx"), plan)
+      val got = naive.select("page_id", "entity_idx", "polygon_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == want)
+    } finally {
+      spark.conf.unset(SpatialJoinRule.EdgeIndexBandsConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRule)
+    }
+  }
+
   test("without the rule the same query is a nested-loop join (the problem being solved)") {
     val naive = ptsDf.join(polysDf, point_in_polygon($"lon", $"lat", $"ring"))
     val phys = naive.queryExecution.executedPlan.toString
