@@ -210,6 +210,25 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == Set(10L, 11L))
   }
 
+  test("k=1 nearest: empty target table and empty query set degrade cleanly") {
+    val queries = Seq((1L, 0.0, 0.0), (2L, 40.0, 40.0)).toDF("qid", "lat", "lon")
+    val noTargets = Seq.empty[(Long, Double, Double)].toDF("tid", "tlat", "tlon")
+    // zero targets: the loop ring-expands to exhaustion and emits nothing
+    assert(Knn(queries, "qid", "lat", "lon", noTargets, "tid", "tlat", "tlon",
+      k = 1, res = 2).count() == 0)
+    // far-away single target: candidate-less early rounds must carry the
+    // open set until the disk reaches it
+    val far = Seq((7L, -80.0, -170.0)).toDF("tid", "tlat", "tlon")
+    val got = Knn(queries, "qid", "lat", "lon", far, "tid", "tlat", "tlon",
+      k = 1, res = 3)
+      .select("qid", "tid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 7L, 1), (2L, 7L, 1)))
+    // empty queries: properly-shaped empty result
+    val emptyQ = Seq.empty[(Long, Double, Double)].toDF("qid", "lat", "lon")
+    val empty = Knn(emptyQ, "qid", "lat", "lon", far, "tid", "tlat", "tlon", k = 1, res = 2)
+    assert(empty.columns.toSeq == Seq("qid", "tid", "dist_sq", "rank") && empty.count() == 0)
+  }
+
   test("vectorize round-trip: cell boxes contain exactly their raster counts") {
     val zoom = 3
     val raster = Tiler.raster(ptsDf, "lat", "lon", zoom)
