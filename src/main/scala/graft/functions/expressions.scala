@@ -153,6 +153,17 @@ case class PolygonYIndexExpr(ring: Expression, bands: Expression)
   override def right: Expression = bands
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // SQL-registered (functions.registerAll) → type-check at analysis, not
+  // as a runtime ClassCastException on the first row
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ring.dataType == ArrayType(DoubleType, containsNull = false) ||
+        ring.dataType == ArrayType(DoubleType, containsNull = true))
+      if (bands.dataType == IntegerType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"polygon_y_index bands must be INT, got ${bands.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"polygon_y_index ring must be ARRAY<DOUBLE>, got ${ring.dataType.sql}")
   override protected def nullSafeEval(rv: Any, bv: Any): Any =
     new GenericArrayData(Geometry.yBandIndex(
       rv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
@@ -178,6 +189,19 @@ case class PointInPolygonIndexedExpr(
   override def fourth: Expression = idx
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isDoubleArray(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (x.dataType == DoubleType && y.dataType == DoubleType &&
+        isDoubleArray(ring.dataType) && isDoubleArray(idx.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "point_in_polygon_indexed requires (DOUBLE x, DOUBLE y, ARRAY<DOUBLE> ring, " +
+        s"ARRAY<DOUBLE> idx), got (${x.dataType.sql}, ${y.dataType.sql}, " +
+        s"${ring.dataType.sql}, ${idx.dataType.sql})")
+  }
   override protected def nullSafeEval(xv: Any, yv: Any, rv: Any, iv: Any): Any =
     PipRt.pointInRingIndexed(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
       rv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],

@@ -44,15 +44,23 @@ object Knn {
    * the driver loop's serial cost is the scaling-critical quantity. */
   private val Debug = sys.env.contains("GRAFT_KNN_DEBUG")
 
-  /** The session's broadcast budget in bytes (-1 = never broadcast). */
-  private def broadcastBytesLimit(df: DataFrame): Long =
-    df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .stripSuffix("b").stripSuffix("B") match {
-      case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
-      case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
-      case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
-      case s => s.toLong
-    }
+  /** The session's broadcast budget in bytes (≤0 = never broadcast).
+   * Parsed with Spark's own byte-string parser (covers every legal form
+   * — "10m", "2t", whitespace — a hand parser once threw on); AQE's
+   * dedicated threshold takes precedence when set, matching what the
+   * planner itself would use; an unparsable value falls back to the
+   * non-broadcast path rather than failing the whole Knn call. */
+  private def broadcastBytesLimit(df: DataFrame): Long = {
+    val conf = df.sparkSession.conf
+    val v = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .filter(_.trim.nonEmpty)
+      .orElse(conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+      .getOrElse("10485760")
+    // negative forms ("-1" = disabled) fail the byte-string grammar and
+    // land in the 0L fallback — exactly the never-broadcast semantics
+    scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)).getOrElse(0L)
+  }
 
   /**
    * @param queries (qKey, qLat, qLon) — qKey must be unique
@@ -81,6 +89,8 @@ object Knn {
     targets.schema(tKey).dataType match {
       case LongType | IntegerType | ShortType | ByteType if k == 1 =>
         applyNearest(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, res, reliableCheckpoint)
+      case LongType | IntegerType | ShortType | ByteType if k <= TopKSlots.MaxK =>
+        applyDeclK(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
       case LongType | IntegerType | ShortType | ByteType =>
         applyAgg(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
       case _ =>
@@ -220,11 +230,142 @@ object Knn {
       col("dist_sq"), col("rank"))
   }
 
+  /**
+   * General k (2 ≤ k ≤ [[TopKSlots.MaxK]], integral target keys) — the
+   * declarative fast path: [[applyNearest]]'s construction with the
+   * single best-candidate slot generalized to k sorted (score, key)
+   * buffer slots. Per round the fresh-candidate stream aggregates
+   * through the declarative [[TopKSlots]], whose all-primitive
+   * fixed-width buffer lets HashAggregateExec fuse the PARTIAL
+   * aggregation into the scan→explode→join codegen span — zero
+   * per-candidate heap allocation, removing the ObjectHashAggregate
+   * span-boundary row copy (~100 GB/child profiled) that capped the
+   * k > 1 scaling at ~0.7-0.8 (SCALE.md). Carried per-query state (the
+   * 2k slot columns, 16k bytes a side) folds in AFTER the aggregate via
+   * a narrow left-outer join whose projection merges the two sorted
+   * buffers with [[TopKSlots.mergeSlotColumns]] — the same
+   * order-statistic expressions the aggregate itself merges with.
+   */
+  private[operators] def applyDeclK(
+      queries: DataFrame,
+      qKey: String, qLat: String, qLon: String,
+      targets: DataFrame,
+      tKey: String, tLat: String, tLon: String,
+      k: Int, res: Int, reliableCheckpoint: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val keyType = targets.schema(tKey).dataType
+    val maxRings = (1L << res).toInt
+    val sCols = (0 until k).map(i => s"__s$i")
+    val kCols = (0 until k).map(i => s"__k$i")
+
+    val tEnter = System.nanoTime()
+    val tgt0 = targets.select(
+      col(tKey).cast(LongType).as("__tk64"), col(tLat).as("__tlat"), col(tLon).as("__tlon"))
+      .withColumn("__tcell", cell_id(col("__tlat"), col("__tlon"), res))
+      .persist()
+    // same compact-layer broadcast gate as applyAgg (see note there)
+    val tgt = if (tgt0.count() * 48 <= broadcastBytesLimit(tgt0)) broadcast(tgt0) else tgt0
+    if (Debug) System.err.println(
+      f"[knn] tgt ready ${(System.nanoTime() - tEnter) / 1e9}%.3fs")
+
+    val negD2 = {
+      val dx = col("__tlon") - col("__qlon")
+      val dy = col("__tlat") - col("__qlat")
+      (-(dx * dx + dy * dy)).as("__score")
+    }
+
+    // open carries the sorted top-k-so-far inline as 2k slot columns;
+    // sentinel slots = fewer than k real candidates yet
+    val obs0 = org.apache.spark.sql.Observation(s"__knn_init_${System.nanoTime()}")
+    var open: DataFrame = ckpt(queries.select(
+      Seq(col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon")) ++
+        sCols.map(c => lit(TopKSlots.SentinelScore).as(c)) ++
+        kCols.map(c => lit(TopKSlots.SentinelKey).as(c)): _*)
+      .observe(obs0, count(lit(1)).as("n")))
+    if (Debug) System.err.println(
+      f"[knn] setup tgt+ckpt=${(System.nanoTime() - tEnter) / 1e9}%.3fs")
+    val initialOpen = open
+    // per-round states: finished rows stay lazy projections over each
+    // round's checkpoint (same ownership note as applyAgg's aggds)
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var lo = 0
+    var r = 0
+    var openCount: Long =
+      if (obs0.get("n").asInstanceOf[Long] == 0L) 0L else Long.MaxValue
+    val t0 = System.nanoTime()
+    while (lo <= maxRings && openCount > 0) {
+      r = if (lo == 0) math.min(1, maxRings) else math.min(lo * 2, maxRings)
+      val ringCells = open.select(
+        col("__qkey"), col("__qlat"), col("__qlon"),
+        cell_disk_band(cell_id(col("__qlat"), col("__qlon"), res), lit(lo), lit(r)).as("__cell"))
+      // NaN distances (NaN coordinates) and ±∞ are excluded outright —
+      // the same defined semantic as every other k path: such candidates
+      // never rank (and −∞ would collide with the sentinel)
+      val cand = ringCells.join(tgt, col("__cell") === col("__tcell"))
+        .select(col("__qkey"), negD2, col("__tk64"))
+        .where(!isnan(col("__score")) && col("__score") =!= lit(TopKSlots.SentinelScore))
+      // ONE fused span up to the partial aggregate: no union, no sentinel
+      val roundK = cand.groupBy("__qkey")
+        .agg(TopKByScore.topKSlots(k)(col("__score"), col("__tk64")).as("__new"))
+      val oldS = sCols.map(col); val oldK = kCols.map(col)
+      val newS = (0 until k).map(i => element_at(col("__new.scores"), i + 1))
+      val newK = (0 until k).map(i => element_at(col("__new.keys"), i + 1))
+      val (mS, mK) = TopKSlots.mergeSlotColumns(k, oldS, oldK, newS, newK)
+      val outS = (0 until k).map(i =>
+        when(col("__new").isNull, oldS(i)).otherwise(mS(i)).as(sCols(i)))
+      val outK = (0 until k).map(i =>
+        when(col("__new").isNull, oldK(i)).otherwise(mK(i)).as(kCols(i)))
+      val obs = org.apache.spark.sql.Observation(s"__knn_open_${r}_${System.nanoTime()}")
+      if (Debug && sys.env.contains("GRAFT_KNN_EXPLAIN") && rounds.isEmpty) {
+        val dbg = roundK
+        dbg.queryExecution.toRdd.count()
+        System.err.println("[knn] round-1 final plan:\n" +
+          dbg.queryExecution.executedPlan.toString.take(5000))
+      }
+      // done ⇔ buffer full (kth slot non-sentinel) and the kth distance
+      // beats the ring-r bound — nothing outside ring r can improve it
+      val aggd = ckpt(open
+        .join(roundK, Seq("__qkey"), "left_outer")
+        .select(Seq(col("__qkey"), col("__qlat"), col("__qlon")) ++ outS ++ outK: _*)
+        .withColumn("__done", col(sCols.last) =!= lit(TopKSlots.SentinelScore) &&
+          -col(sCols.last) <= cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
+        .observe(obs, count(when(!col("__done"), 1)).as("open")))
+      openCount = obs.get("open").asInstanceOf[Long]
+      if (Debug) System.err.println(
+        f"[knn] band [$lo,$r] open=$openCount t=${(System.nanoTime() - t0) / 1e9}%.3fs")
+      if (rounds.isEmpty) org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
+      rounds += aggd
+      open = aggd.where(!col("__done")).drop("__done")
+      lo = r + 1
+    }
+    tgt0.unpersist()
+    if (rounds.isEmpty) { // zero rounds ran: the query set was empty
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
+      return queries.limit(0).select(col(qKey),
+        lit(null).cast(keyType).as(tKey), lit(0.0).as("dist_sq"), lit(0).as("rank"))
+    }
+    // slots are sorted, sentinels last → real ranks are 1..n by position
+    def emit(df: DataFrame): DataFrame =
+      df.select(col("__qkey"), posexplode(array((0 until k).map(i =>
+          struct(col(sCols(i)).as("s"), col(kCols(i)).as("t"))): _*))
+          .as(Seq("__pos", "__slot")))
+        .select(col("__qkey"), col("__slot.t").as("__tk64"),
+          (-col("__slot.s")).as("dist_sq"), (col("__pos") + 1).as("rank"))
+        .where(col("dist_sq") =!= lit(Double.PositiveInfinity))
+    val result0 = (rounds.init.map(a => emit(a.where(col("__done"))))
+      :+ emit(rounds.last)).reduce(_.union(_))
+    result0.select(
+      col("__qkey").as(qKey), col("__tk64").cast(keyType).as(tKey),
+      col("dist_sq"), col("rank"))
+  }
+
   /** Map-side partial top-k path (integral target keys). One shuffle per
    * round: the TopKByScore hash aggregate, whose output row also carries
    * the resolution test. Coordinates must be finite (±∞ would collide
-   * with the sentinel). */
-  private def applyAgg(
+   * with the sentinel). Since the declarative [[applyDeclK]] landed this
+   * path serves k > [[TopKSlots.MaxK]] only (and path-equality specs). */
+  private[operators] def applyAgg(
       queries: DataFrame,
       qKey: String, qLat: String, qLon: String,
       targets: DataFrame,

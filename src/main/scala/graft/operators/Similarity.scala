@@ -52,12 +52,17 @@ object Similarity {
   /** Shared ranking stage: (…, __qk, __ck, cos) → top-k per __qk by
    * (cos desc, __ck asc), rank 1..k.
    *
-   * Integral corpus keys take the map-side partial top-k Aggregator (the
+   * Integral corpus keys take the map-side partial top-k aggregate (the
    * scale path: ≤ k rows per query per map task reach the exchange; key
    * round-trips through long losslessly and is cast back to its original
-   * type). Non-integral keys (strings, etc.) keep the row_number window —
-   * same ordering semantics, full candidate shuffle, correct for every
-   * key type. */
+   * type). For k ≤ [[TopKSlots.MaxK]] that is the DECLARATIVE
+   * [[TopKSlots]] — its fixed-width buffer fuses the partial aggregation
+   * into the scoring codegen span (zero per-candidate allocation; the
+   * typed-imperative form pays an ObjectHashAggregate span-boundary row
+   * copy per candidate, the profiled kNN GC ceiling); larger k keeps the
+   * imperative [[TopKAggExpr]]. Non-integral keys (strings, etc.) keep
+   * the row_number window — same ordering semantics, full candidate
+   * shuffle, correct for every key type. */
   private def rankTopK(scored: DataFrame, k: Int, qKey: String, cKey: String): DataFrame = {
     import org.apache.spark.sql.types._
     val keyType = scored.schema("__ck").dataType
@@ -65,7 +70,16 @@ object Similarity {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    if (integral) {
+    if (integral && k <= TopKSlots.MaxK) {
+      scored.groupBy("__qk")
+        .agg(TopKByScore.topKSlots(k)(col("cos"), col("__ck").cast("long")).as("__tk"))
+        .select(col("__qk"), col("__tk.scores").as("__ss"),
+          posexplode(col("__tk.keys")).as(Seq("__pos", "__ck")))
+        .select(col("__qk").as(qKey), col("__ck").cast(keyType).as(cKey),
+          element_at(col("__ss"), col("__pos") + 1).as("cos"),
+          (col("__pos") + 1).as("rank"))
+        .where(col("cos") =!= lit(TopKSlots.SentinelScore)) // drop k-padding
+    } else if (integral) {
       scored.groupBy("__qk")
         .agg(TopKByScore.topK(k)(col("cos"), col("__ck").cast("long")).as("__tk"))
         .select(col("__qk"), col("__tk.scores").as("__ss"),

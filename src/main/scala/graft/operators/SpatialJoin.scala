@@ -26,17 +26,17 @@ import graft.functions.{cell_cover, cell_id, point_in_polygon,
  *    exploded cover automatically under the broadcast threshold; at larger
  *    covers AQE picks shuffle-hash and splits skewed partitions.
  *  - hot cells (capital-city skew): `saltBuckets > 1` appends a salt key:
- *    points get pmod(xxhash64(all point columns), S), the cover side
- *    explodes 0..S-1. The join key becomes (cell, salt) — a hot cell's
- *    points spread over S partitions at the cost of S× the (small) cover
- *    side. AQE skew-join handles residual imbalance. The salt is
- *    DETERMINISTIC in the row's content (SURVEY §7.4-3): a
- *    nondeterministic source (row id, rand) feeding a shuffle key breaks
- *    under stage retry — the recomputed map task re-salts rows
- *    differently and the resubmitted shuffle can duplicate or drop them.
- *    Exact duplicate rows share a salt (they spread S-fold only across
- *    distinct contents) — the price of retry safety, and irrelevant for
- *    keyed inputs.
+ *    points get pmod(xxhash64(lat, lon), S), the cover side explodes
+ *    0..S-1. The join key becomes (cell, salt) — a hot cell's points
+ *    spread over S partitions at the cost of S× the (small) cover side.
+ *    AQE skew-join handles residual imbalance. The salt is DETERMINISTIC
+ *    in the row's coordinates (SURVEY §7.4-3): a nondeterministic source
+ *    (row id, rand) feeding a shuffle key breaks under stage retry — the
+ *    recomputed map task re-salts rows differently and the resubmitted
+ *    shuffle can duplicate or drop them. Coordinate-identical rows share
+ *    a salt (they spread S-fold only across distinct coordinates) — the
+ *    price of retry safety; a genuinely single-coordinate hot spot needs
+ *    a finer `res`, which separates it by construction.
  *  - `res` trades cover size (4^res cells/polygon) against join
  *    selectivity (finer cells → fewer false pairs for the PIP to reject).
  */
@@ -79,8 +79,15 @@ object SpatialJoin {
       if (saltBuckets == 1) {
         pts.join(cover, pts("__cell") === cover("__cover_cell"), "inner")
       } else {
+        // salt = hash of the COORDINATES only (the columns the join key
+        // derives from): still content-deterministic and retry-safe, but
+        // a wide points frame doesn't pay to hash its payload columns per
+        // row, and payload types xxhash64 can't digest (MAP) don't fail
+        // the analysis. Identical coordinates share a salt — acceptable:
+        // they land in the same cell anyway, and true full-row duplicates
+        // were never spread either (the retry-safety trade-off).
         val ptsS = pts.withColumn("__salt",
-          pmod(xxhash64(points.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+          pmod(xxhash64(latCol, lonCol), lit(saltBuckets)).cast("int"))
         val coverS = cover.withColumn("__salt",
           explode(sequence(lit(0), lit(saltBuckets - 1))))
         ptsS.join(coverS,

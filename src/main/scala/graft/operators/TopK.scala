@@ -176,6 +176,13 @@ object TopKByScore {
     GraftBridge.column(
       MaxScoreMinKey(GraftBridge.expression(score), GraftBridge.expression(key))
         .toAggregateExpression())
+
+  /** Column form of [[TopKSlots]]: → struct(scores: array[k], keys:
+   * array[k]) — k-padded, sentinel = (-Infinity, Long.MaxValue). */
+  def topKSlots(k: Int)(score: Column, key: Column): Column =
+    GraftBridge.column(
+      TopKSlots(k, GraftBridge.expression(score), GraftBridge.expression(key))
+        .toAggregateExpression())
 }
 
 /**
@@ -246,4 +253,173 @@ case class MaxScoreMinKey(
       newChildren: IndexedSeq[Expression]): MaxScoreMinKey =
     copy(score = newChildren(0), key = newChildren(1))
   override def prettyName: String = "max_score_min_key"
+}
+
+/**
+ * General-k top-k as a DECLARATIVE aggregate over 2k fixed-width buffer
+ * slots — [[MaxScoreMinKey]]'s construction generalized from 1 slot to k
+ * (the SCALE.md follow-up that removes the k > 1 GC ceiling). The buffer
+ * is k (double, long) pairs kept sorted (score desc, key asc), so every
+ * field is a mutable primitive and `HashAggregateExec` fuses the partial
+ * aggregation INTO the whole-stage-codegen span feeding it: a rejected
+ * candidate costs two comparisons and zero allocation, exactly like the
+ * k = 1 path. (The typed-imperative [[TopKAggExpr]] forces
+ * ObjectHashAggregate, whose span boundary copies every candidate row —
+ * profiled at ~100 GB/child of UnsafeRow copies on the kNN bench.)
+ *
+ * Update: the input pair's insert position is found by a per-slot
+ * comparison chain — slot i keeps itself when it beats the input, takes
+ * the input when slot i−1 beat it (or i = 0), else inherits slot i−1
+ * (the in-place shift, as expressions). Linear in k, no branching blowup.
+ *
+ * Merge: slot m of the merged buffer is the m-th order statistic of the
+ * two sorted buffers — `best over j of ( worse(left[j−1], right[m−j−1]) )`
+ * (the classic sorted-merge split formula; j = elements taken from the
+ * left). Pairs are compared through an orderable proxy struct
+ * (order_key = −score with NaN → −∞, key), so `Least`/`Greatest` do the
+ * pair selection natively and the whole merge is O(k²) expression nodes —
+ * NOT the 3^k tree a nested CASE fold would build. Struct allocation
+ * happens only per buffer MERGE (spill/final), never per input row.
+ *
+ * Ordering contract — Spark SQL's own double ordering (nanSafeCompare):
+ * score descending with NaN as the LARGEST score, key ascending on ties,
+ * and −0.0 == 0.0. This matches the `row_number` window it replaces
+ * bit-for-bit except that [[TopKAggExpr]]'s Double.compare orders
+ * −0.0 < 0.0 while this aggregate (like SQL comparison) ties them — the
+ * engine's score producers never mix −0.0 and 0.0 (squared distances
+ * yield a uniform −0.0 at zero; BigDecimal-rounded cosines are never
+ * −0.0), so the two paths agree on all reachable inputs.
+ *
+ * Caller contract: scores must be finite or NaN. ±Infinity collides with
+ * the empty-slot sentinel (−∞, Long.MaxValue) — pre-filter it, as Knn
+ * and the ANN rankers do.
+ */
+case class TopKSlots(
+    k: Int,
+    score: Expression,
+    key: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
+  import org.apache.spark.sql.catalyst.expressions._
+  require(k >= 1 && k <= TopKSlots.MaxK,
+    s"TopKSlots supports 1 <= k <= ${TopKSlots.MaxK} (got $k); use TopKAggExpr beyond")
+
+  override def children: Seq[Expression] = Seq(score, key)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("scores", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("keys", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && key.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_slots requires (DOUBLE score, BIGINT key), got (${score.dataType.sql}, ${key.dataType.sql})")
+
+  private lazy val ss = (0 until k).map(i =>
+    AttributeReference(s"ts$i", DoubleType, nullable = false)())
+  private lazy val ks = (0 until k).map(i =>
+    AttributeReference(s"tk$i", LongType, nullable = false)())
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = ss ++ ks
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(k)(Literal(TopKSlots.SentinelScore)) ++
+      Seq.fill(k)(Literal(TopKSlots.SentinelKey))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val skip = Or(IsNull(score), IsNull(key))
+    val inNaN = IsNaN(score)
+    // slot i strictly better than the input pair, NaN-as-largest:
+    // s_i > in  ∨  (s_i NaN ∧ in finite)  ∨  (tie ∧ k_i < in_key)
+    def slotBetter(i: Int): Expression = Or(
+      Or(GreaterThan(ss(i), score), And(IsNaN(ss(i)), Not(inNaN))),
+      And(Or(EqualTo(ss(i), score), And(IsNaN(ss(i)), inNaN)),
+        LessThan(ks(i), key)))
+    val newS = (0 until k).map { i =>
+      val shifted = if (i == 0) score else If(slotBetter(i - 1), score, ss(i - 1))
+      If(skip, ss(i), If(slotBetter(i), ss(i), shifted))
+    }
+    val newK = (0 until k).map { i =>
+      val shifted = if (i == 0) key else If(slotBetter(i - 1), key, ks(i - 1))
+      If(skip, ks(i), If(slotBetter(i), ks(i), shifted))
+    }
+    newS ++ newK
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val l = (0 until k).map(i => (ss(i).left: Expression, ks(i).left: Expression))
+    val r = (0 until k).map(i => (ss(i).right: Expression, ks(i).right: Expression))
+    val merged = TopKSlots.mergedSlots(k, l, r)
+    merged.map(_._1) ++ merged.map(_._2)
+  }
+
+  override lazy val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(
+      Literal("scores"), CreateArray(ss),
+      Literal("keys"), CreateArray(ks)))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKSlots =
+    copy(score = newChildren(0), key = newChildren(1))
+  override def prettyName: String = "topk_slots"
+}
+
+object TopKSlots {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** Empty-slot sentinel: sorts strictly after every finite-or-NaN score. */
+  val SentinelScore: Double = Double.NegativeInfinity
+  val SentinelKey: Long = Long.MaxValue
+
+  /** Beyond this, the O(k²) merge-expression size stops paying for the
+   * codegen fusion — [[TopKAggExpr]] (ObjectHashAggregate) takes over. */
+  val MaxK: Int = 16
+
+  /** Orderable proxy: ascending (order_key, key) == (score desc with NaN
+   * largest, key asc). order_key = −score, except NaN → −∞ (negation
+   * alone would send NaN last; finite scores can never produce −∞). */
+  private def proxy(s: Expression, kk: Expression): Expression =
+    CreateNamedStruct(Seq(
+      Literal("o"), If(IsNaN(s), Literal(Double.NegativeInfinity), UnaryMinus(s)),
+      Literal("t"), kk))
+
+  private def unproxyScore(p: Expression): Expression = {
+    val o = GetStructField(p, 0, Some("o"))
+    // −∞ order_key can only be a NaN score (contract: no +∞ scores)
+    If(EqualTo(o, Literal(Double.NegativeInfinity)), Literal(Double.NaN), UnaryMinus(o))
+  }
+
+  /**
+   * Slot m (1-based, m = 1..k) of the sorted merge of two k-slot sorted
+   * buffers, for all m — the order-statistic split formula: taking j
+   * elements from the left and m−j from the right, the m-th element is
+   * the worse of the two subsequences' last elements; the true m-th is
+   * the best of that over all valid splits. Sentinel-padded slots are
+   * ordinary worst-possible elements, so no length bookkeeping is needed.
+   */
+  private[operators] def mergedSlots(
+      k: Int,
+      l: Seq[(Expression, Expression)],
+      r: Seq[(Expression, Expression)]): Seq[(Expression, Expression)] = {
+    val lp = l.map { case (s, kk) => proxy(s, kk) }
+    val rp = r.map { case (s, kk) => proxy(s, kk) }
+    (1 to k).map { m =>
+      val cands = (0 to m).map { j =>
+        if (j == 0) rp(m - 1) // nothing from the left
+        else if (j == m) lp(m - 1) // nothing from the right
+        else Greatest(Seq(lp(j - 1), rp(m - j - 1)))
+      }
+      val best = Least(cands)
+      (unproxyScore(best), GetStructField(best, 1, Some("t")))
+    }
+  }
+
+  /** Column-level buffer merge (the kNN round fold: carried state ⊕ the
+   * round's aggregate, merged in a narrow post-agg projection). */
+  def mergeSlotColumns(k: Int, lS: Seq[Column], lK: Seq[Column],
+      rS: Seq[Column], rK: Seq[Column]): (Seq[Column], Seq[Column]) = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val l = lS.zip(lK).map { case (s, kk) => (expression(s), expression(kk)) }
+    val r = rS.zip(rK).map { case (s, kk) => (expression(s), expression(kk)) }
+    val m = mergedSlots(k, l, r)
+    (m.map(p => column(p._1)), m.map(p => column(p._2)))
+  }
 }

@@ -180,37 +180,60 @@ object Warc {
       }
   }
 
+  /** Close-shield: lets a per-record GZIPOutputStream be close()d — the
+   * only public way to release its native Deflater eagerly — without
+   * closing the long-lived segment stream under it. */
+  private final class NoCloseStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = out.flush() // keep the underlying stream open
+  }
+
   /** Write pages (url, warc_ts, html) as one .warc segment per partition
    * — the fixture/export side of [[readPages]], and the shape CC segments
    * come in (many independent files → file-granular parallel read).
-   * Writes to the task-local filesystem (exactly what local-mode tests
-   * and fixture generation need); a cluster export would swap the
-   * Files.write for a shared-storage stream, record layout unchanged.
-   * With `gzip = true` each RECORD is its own gzip member (CC's layout —
-   * it makes records independently seekable/streamable). */
+   * Segments stream through the Hadoop FileSystem API, so the export
+   * works against any shared storage the session is configured for
+   * (file://, hdfs://, s3a://) — records are never buffered whole in
+   * memory. File names are deterministic per partition and created with
+   * overwrite, so a retried task simply rewrites its own segment
+   * (idempotent; like Spark's own file sinks, speculative execution
+   * should stay off for direct-filesystem output). With `gzip = true`
+   * each RECORD is its own gzip member (CC's layout — it makes records
+   * independently seekable/streamable). */
   def writePages(pages: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val spark = pages.sparkSession
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(hadoopConf).mkdirs(dirPath)
+    // executors need the session's Hadoop conf (credentials, fs impls)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+    val ext = if (gzip) "warc.gz" else "warc"
     pages.select(col("url"), col("warc_ts"), col("html"))
       .as[(String, java.sql.Timestamp, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, java.sql.Timestamp, Array[Byte])]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val bos = new java.io.ByteArrayOutputStream()
-          it.foreach { case (url, ts, html) =>
-            val rec = renderRecord(url, ts, html)
-            if (gzip) {
-              val gz = new java.util.zip.GZIPOutputStream(bos) // one member per record
-              gz.write(rec); gz.finish()
-              gz.close() // release the native Deflater NOW (close of the
-              // wrapping stream; ByteArrayOutputStream.close is a no-op) —
-              // finalization-deferred release leaks one Deflater per record
-            } else bos.write(rec)
-          }
-          val ext = if (gzip) "warc.gz" else "warc"
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"segment-$pid%05d.$ext"), bos.toByteArray)
+          val path = new org.apache.hadoop.fs.Path(dir, f"segment-$pid%05d.$ext")
+          val fs = path.getFileSystem(confB.value.value)
+          // no .crc sidecars: the local ChecksumFileSystem would drop one
+          // next to every segment (and ".warc.gz.crc" matches the reader's
+          // "*.warc*" glob); HDFS/S3 integrity is transport/server-side
+          fs.setWriteChecksum(false)
+          val out = fs.create(path, true)
+          try {
+            it.foreach { case (url, ts, html) =>
+              val rec = renderRecord(url, ts, html)
+              if (gzip) {
+                val gz = new java.util.zip.GZIPOutputStream(new NoCloseStream(out))
+                gz.write(rec)
+                gz.close() // release the native Deflater NOW — one leaks
+                // per record otherwise (finalization-deferred release)
+              } else out.write(rec)
+            }
+          } finally out.close()
         }
         () // foreachPartition wants Unit
       }

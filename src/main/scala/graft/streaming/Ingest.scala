@@ -113,14 +113,7 @@ object Ingest {
         // to ONE streaming checkpoint; anything else is a config error.
         val marker = java.nio.file.Paths.get(root, table, "STREAMING_SINK")
         val hasCurrent = SnapshotCatalog.currentSnapshotId(root, table).isDefined
-        if (!java.nio.file.Files.exists(marker)) {
-          if (hasCurrent)
-            throw new IllegalStateException(
-              s"table '$table' was not written by snapshotSink: batch-run wave ids " +
-                "would collide with micro-batch ids (write to a fresh table)")
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.write(marker, queryId.getBytes("UTF-8"))
-        } else {
+        def verifyOwner(): Unit = {
           val owner = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
           if (owner != queryId)
             throw new IllegalStateException(
@@ -129,6 +122,20 @@ object Ingest {
                 "batch ids would collide with committed waves and be dropped " +
                 "silently (resume the original checkpoint or write to a fresh table)")
         }
+        if (!java.nio.file.Files.exists(marker)) {
+          if (hasCurrent)
+            throw new IllegalStateException(
+              s"table '$table' was not written by snapshotSink: batch-run wave ids " +
+                "would collide with micro-batch ids (write to a fresh table)")
+          java.nio.file.Files.createDirectories(marker.getParent)
+          // CREATE_NEW makes ownership claiming ATOMIC: two fresh streams
+          // racing on a fresh table both see "no marker", but exactly one
+          // write wins; the loser re-reads and fails the owner check
+          // instead of having its batch 0 silently absorbed as a "replay"
+          try java.nio.file.Files.write(marker, queryId.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch { case _: java.nio.file.FileAlreadyExistsException => verifyOwner() }
+        } else verifyOwner()
         val committed = SnapshotCatalog.commitWave(
           batch.sparkSession, batch.toDF(), batchId.toInt, root, table)(transform)
         if (!committed) {

@@ -41,7 +41,12 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 7)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "ranking should not use a window")
-    assert(plan.contains("ObjectHashAggregate"), "expected partial ObjectHashAggregate top-k")
+    // the declarative TopKSlots buffer is all-primitive, so the partial
+    // top-k plans as a codegen-fusible HashAggregate — NOT the
+    // ObjectHashAggregate of the imperative form (whose span-boundary row
+    // copy was the profiled scaling ceiling)
+    assert(plan.contains("partial_topk_slots"), "expected partial declarative top-k")
+    assert(!plan.contains("ObjectHashAggregate"), "declarative top-k must use HashAggregate")
   }
 
   test("bruteTopK with STRING corpus keys (window fallback path)") {

@@ -163,6 +163,48 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == winPath)
   }
 
+  test("kNN general-k declarative path equals the imperative aggregate path") {
+    // Knn.apply now routes 2 <= k <= TopKSlots.MaxK through applyDeclK
+    // (TopKSlots, HashAggregate-fused); the imperative applyAgg
+    // (TopKAggExpr, ObjectHashAggregate) must produce the identical rows
+    // INCLUDING distances — call both directly on the same fixture
+    val queries = pts.take(150).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
+      .toDF("qid", "lat", "lon")
+    val centroids = polys.map { p =>
+      val (cx, cy) = Geometry.vertexCentroid(p.ring)
+      (p.polygon_id, cy, cx)
+    }.toDF("tid", "tlat", "tlon")
+    for (k <- Seq(2, 3, 5)) {
+      val decl = Knn.applyDeclK(queries, "qid", "lat", "lon",
+        centroids, "tid", "tlat", "tlon", k, res = 4, reliableCheckpoint = false)
+        .select("qid", "tid", "dist_sq", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val imper = Knn.applyAgg(queries, "qid", "lat", "lon",
+        centroids, "tid", "tlat", "tlon", k, res = 4, reliableCheckpoint = false)
+        .select("qid", "tid", "dist_sq", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(decl == imper, s"k=$k")
+      assert(decl.nonEmpty)
+    }
+  }
+
+  test("kNN NaN-coordinate queries agree across k paths (emit nothing)") {
+    // a NaN coordinate makes every candidate distance NaN; all three
+    // integral-key paths filter non-finite distances identically, so the
+    // dirty query yields zero rows at every k while clean queries are
+    // unaffected (the ADVICE divergence concern, pinned as a spec)
+    val queries = Seq((1L, 0.0, 0.0), (2L, Double.NaN, 5.0)).toDF("qid", "lat", "lon")
+    val targets = (0L until 12L).map(i => (i, (i % 4).toDouble, (i / 4).toDouble))
+      .toDF("tid", "tlat", "tlon")
+    for (k <- Seq(1, 2, 3)) {
+      val rows = Knn(queries, "qid", "lat", "lon", targets, "tid", "tlat", "tlon",
+        k = k, res = 3)
+        .select("qid", "tid", "rank").as[(Long, Long, Int)].collect()
+      assert(rows.forall(_._1 == 1L), s"k=$k: NaN query must emit nothing")
+      assert(rows.count(_._1 == 1L) == k, s"k=$k: clean query emits k rows")
+    }
+  }
+
   test("kNN windowed fallback (string target keys) equals the aggregate path") {
     val queries = pts.take(60).map { case (pid, e, lat, lon) => (pid * 10 + e, lat, lon) }
       .toDF("qid", "lat", "lon")
