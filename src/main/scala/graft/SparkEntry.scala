@@ -276,13 +276,23 @@ object SparkEntry {
         .select(col("cell_id"), col("zoom").cast("long").as("zoom"), col("n"),
           col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))),
 
-    // rows-only: k-means centroids are float-mean iterates (not portably
-    // SQL-expressible); recall vs brute force is pinned in SimilaritySpec
+    // full oracle (was rows-only): the k-means iterates become portably
+    // exact by QUANTIZING the embeddings to integer-valued doubles
+    // (floor(x·256) — floor is exact in both engines; ×256 is a
+    // power-of-two scale, lossless on floats). Then every Lloyd mean is
+    // one exact integer sum + one correctly-rounded division, every
+    // distance is cnorm − 2·dot with both engines folding in index order
+    // (list_dot_product == DotProductExpr, the q15-proven identity), and
+    // every assignment argmin compares bit-identical doubles. Recall vs
+    // brute force stays pinned in SimilaritySpec on the raw floats.
     "q55_kmeans_ivf" -> ((s, d) => {
-      val e = tbl(s, d, "embeddings")
+      val e = tbl(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(256)).cast("double")).as("embedding"))
       val q = e.where(col("vec_id") < 20).select(col("vec_id").as("q_vec"), col("embedding"))
       Similarity.kmeansIvfTopK(q, "q_vec", "embedding", e, "vec_id", "embedding",
         k = 5, kClusters = 8, iters = 2, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
     // ---- tool-facade round-out: every remaining SURVEY §2 operator gets an
@@ -602,11 +612,20 @@ object SparkEntry {
     }),
 
     "q43_snapshot_lineage" -> ((s, d) => {
+      // full oracle (was rows-only): waves split by an md5-derived bucket —
+      // the one hash both engines share — so DuckDB can recompute the
+      // engine-side lineage counters per wave independently. inputRows is
+      // carried per PARTITION lineage row (duplicated within a wave) →
+      // max, not sum; outputRows are per-partition → sum.
       val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
-      graft.snap.SnapshotCatalog.resumableRun(s, tbl(s, d, "documents"), "doc_id", 4, root, "docs") {
+      val wave = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(4))
+      graft.snap.SnapshotCatalog.resumableRunBy(s, tbl(s, d, "documents"), wave, 4, root, "docs") {
         df => df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
       }
       graft.snap.SnapshotCatalog.lineage(s, root, "docs")
+        .groupBy(col("wave").cast("long").as("wave"))
+        .agg(max("inputRows").as("input_rows"), sum("outputRows").as("output_rows"))
     }),
 
     "q44_spatial_join_salted" -> ((s, d) =>
@@ -1181,11 +1200,63 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)" +
         ") WHERE rnk <= 5"),
 
+    // q43: the snapshot waves split by an md5-derived bucket (the portable
+    // hash), so DuckDB recomputes the engine's per-wave lineage counters
+    // from the same source table; the transform is row-local 1:1, so
+    // input = output per wave
+    "q43_snapshot_lineage" ->
+      ("SELECT wave, count(*) AS input_rows, count(*) AS output_rows FROM (" +
+        "SELECT (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4) AS wave " +
+        "FROM documents) GROUP BY wave"),
+
+    // q55: DuckDB re-runs the full 2-iteration Lloyd loop on the
+    // quantized vectors — exact integer sums make the means portable and
+    // list_dot_product folds like DotProductExpr (see the query-side
+    // comment). Assignment/probe CTEs share one generated shape.
+    "q55_kmeans_ivf" -> {
+      // corpus→nearest-centroid rows (rn ≤ limit keeps `limit` nearest)
+      def assign(cents: String, limit: Int, where: String = ""): String =
+        s"""SELECT vec_id, v, cid FROM (
+           |    SELECT e.vec_id, e.v, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_dot_product(c.m, c.m) - 2 * list_dot_product(e.v, c.m), c.cid) AS rn
+           |    FROM e CROSS JOIN $cents c $where) WHERE rn <= $limit""".stripMargin
+      // Lloyd step: per-cluster element-wise mean (exact: integer-valued
+      // doubles), empty clusters keep the previous centroid
+      def means(afrom: String, prev: String): String =
+        s"""SELECT p.cid, coalesce(g.m, p.m) AS m FROM $prev p LEFT JOIN (
+           |    SELECT cid, list(s ORDER BY i) AS m FROM (
+           |      SELECT cid, t.u.i AS i, avg(t.u.x) AS s FROM (
+           |        SELECT cid, unnest(list_transform(v, (x, i) -> {'x': x, 'i': i})) AS u
+           |        FROM $afrom) t
+           |      GROUP BY cid, t.u.i) GROUP BY cid) g ON p.cid = g.cid""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 256)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS m
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |a1 AS (${assign("c0", 1)}),
+         |m1 AS (${means("a1", "c0")}),
+         |a2 AS (${assign("m1", 1)}),
+         |m2 AS (${means("a2", "m1")}),
+         |cass AS (${assign("m2", 1)}),
+         |qprobe AS (${assign("m2", 2, "WHERE e.vec_id < 20")}),
+         |scored AS (
+         |  SELECT q.vec_id AS q_vec, c.vec_id,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+         |  FROM qprobe q JOIN cass c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
+         |SELECT q_vec, vec_id, cos, rank FROM (
+         |  SELECT q_vec, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
+    },
+
     // q41: the sign-LSH hyperplanes are deterministic data-independent
     // constants, so the oracle inlines the SAME values as literal arrays
     // (cosine arithmetic portability is the q15-proven path; the bucket
-    // test is exact sign/integer arithmetic). q43/q55 remain rows-only
-    // (lineage counters / float k-means iterates are not SQL-expressible).
+    // test is exact sign/integer arithmetic).
     "q41_ann_lsh" -> {
       val hps = (0 until 4).map(j =>
         Similarity.lshHyperplane(j, 64).mkString("[", ", ", "]"))

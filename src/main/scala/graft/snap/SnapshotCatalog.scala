@@ -361,10 +361,24 @@ object SnapshotCatalog {
       keyCol: String,
       waves: Int,
       root: String,
+      table: String)(transform: DataFrame => DataFrame): Int =
+    resumableRunBy(spark, input, pmod(xxhash64(col(keyCol)), lit(waves)), waves,
+      root, table)(transform)
+
+  /** [[resumableRun]] with a caller-supplied wave expression (values must
+   * be deterministic in row content and in [0, waves) — the same
+   * retry-safety contract as the default xxhash64 bucketing; e.g. an
+   * md5-derived bucket when downstream tooling must recompute the split). */
+  def resumableRunBy(
+      spark: SparkSession,
+      input: DataFrame,
+      waveCol: org.apache.spark.sql.Column,
+      waves: Int,
+      root: String,
       table: String)(transform: DataFrame => DataFrame): Int = {
     var ran = 0
     (0 until waves).foreach { w =>
-      val waveIn = input.where(pmod(xxhash64(col(keyCol)), lit(waves)) === w)
+      val waveIn = input.where(waveCol === w)
       if (commitWave(spark, waveIn, w, root, table)(transform)) ran += 1
     }
     ran

@@ -126,4 +126,40 @@ object Fixtures {
     import spark.implicits._
     polygons(p).toDF()
   }
+
+  /** Many-edge "coastline" ring: `vertices` points on a wavy circle
+   * r(θ) = r·(1 + 0.35·sin 9θ + 0.15·sin 23θ) around (cx, cy) — the
+   * E ≫ bands regime the y-banded edge index exists for (real borders
+   * are hundreds-to-thousands of edges; the default bench diamonds are
+   * 4). Deterministic, counter-clockwise, simple (radial monotone per
+   * angle step keeps edges non-crossing). */
+  def coastRing(cx: Double, cy: Double, rBase: Double, vertices: Int): Array[Double] = {
+    val out = new Array[Double](vertices * 2)
+    var i = 0
+    while (i < vertices) {
+      val th = 2.0 * math.Pi * i / vertices
+      val r = rBase * (1.0 + 0.35 * math.sin(9 * th) + 0.15 * math.sin(23 * th))
+      out(2 * i) = cx + r * math.cos(th)
+      out(2 * i + 1) = cy + r * math.sin(th)
+      i += 1
+    }
+    out
+  }
+
+  /** Coastline polygon layer on the [[polygons]] grid layout. */
+  def coastPolygons(p: Int, vertices: Int = 256): Seq[Polygon] = {
+    val side = math.max(1, math.ceil(math.sqrt(p.toDouble)).toInt)
+    (0L until p.toLong).map { id =>
+      val gx = (id % side).toDouble; val gy = (id / side).toDouble
+      val cx = -170.0 + (gx + 0.5) * 340.0 / side
+      val cy = -80.0 + (gy + 0.5) * 160.0 / side
+      val r = 1.5 + (mix(Seed ^ (id * 31)) & 0xff).toDouble / 128.0
+      Polygon(id, coastRing(cx, cy, r, vertices), s"coast-$id")
+    }
+  }
+
+  def coastPolygonsDf(spark: SparkSession, p: Int, vertices: Int = 256): DataFrame = {
+    import spark.implicits._
+    coastPolygons(p, vertices).toDF()
+  }
 }
