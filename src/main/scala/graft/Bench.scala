@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
  * Output: ONE JSON line
  *   {"metric":"total","value":…,"unit":"sec","queries":{…},"sf":…,
  *    "scaling":{"p8_pages_per_sec":…,"p32_pages_per_sec":…,"efficiency":…,
- *               "bench_pages":N}}
+ *               "bench_pages":N},"scaling_knn":{…,"k":1},"scaling_knn3":{…,"k":3}}
+ * The stdout line is the COMPACT form (qNN keys, 3 dp) sized to fit the
+ * driver's 2000-char stdout tail; BENCH_LAST.json gets the full-name 4 dp
+ * form. scaling_knn3 exercises the declarative general-k TopKSlots path.
  */
 object Bench {
 
@@ -71,7 +74,8 @@ object Bench {
     // pollutes the comparison (heap garbage + JIT state from earlier
     // sessions made local[32] look 3x slower than local[8]). The child
     // warms up internally; the parquet input is page-cache-warm for both.
-    def measure(cores: Int, mode: String = "spatial"): Double = {
+    def measure(cores: Int, mode: String = "spatial",
+        extraEnv: Map[String, String] = Map.empty): Double = {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -96,6 +100,7 @@ object Bench {
       // and blocks the child mid-job (observed as a bogus 6x slowdown)
       val pb = new ProcessBuilder(cmd: _*)
         .redirectError(ProcessBuilder.Redirect.DISCARD)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
       proc.waitFor()
@@ -124,8 +129,13 @@ object Bench {
     // tightens the min. (Three rounds, not four: the whole bench must
     // stay under ~20 min wall — six 16-core draws already double the r2
     // sample count on the side that needs it.) All rounds reported raw.
+    // THREE 16-core draws per round (r4 drew two): the 16c side absorbs
+    // every host burst — its draws floated 6.9-8.2 s against a ±0.5%
+    // 4-core floor — so extra draws on the noisy side are what tighten
+    // the per-round raw efficiency, not just the min-per-level headline
     val rounds = (1 to 3).map { _ =>
-      val a = measure(4); val b = math.min(measure(16), measure(16))
+      val a = measure(4)
+      val b = Seq(measure(16), measure(16), measure(16)).min
       (a, b, (benchN / b) / (benchN / a) / 4.0)
     }
     val t4 = rounds.map(_._1).min
@@ -140,12 +150,33 @@ object Bench {
     // rounds under-sampled the bursty 16-core side and recorded a
     // noise-inflated fail)
     val knnRounds = (1 to 3).map { _ =>
-      val a = measure(4, "knn"); val b = math.min(measure(16, "knn"), measure(16, "knn"))
+      val a = measure(4, "knn")
+      val b = Seq(measure(16, "knn"), measure(16, "knn"), measure(16, "knn")).min
       (a, b, a / (b * 4.0))
     }
     val kT4 = knnRounds.map(_._1).min
     val kT16 = knnRounds.map(_._2).min
     val kEff = kT4 / (kT16 * 4.0)
+
+    // third regime: general-k kNN (k = 3) through the DECLARATIVE TopKSlots
+    // aggregate — the measurement evidencing that the ObjectHashAggregate
+    // span-boundary GC ceiling (SCALE.md; capped k > 1 scaling at ~0.7) is
+    // gone for 2 ≤ k ≤ 16. k = 3 children are ~4× the k = 1 cost, so this
+    // regime trims the per-child protocol (quarter-N warm-up, one timed
+    // run) and draws two rounds; the per-level min across rounds still
+    // filters host bursts. Same 4M × 30k fixture as scaling_knn.
+    val knn3Env = Map(
+      "SPARK_GRAFT_KNN_K" -> "3",
+      "SPARK_GRAFT_KNN_WARM_N" -> "1000000",
+      "SPARK_GRAFT_TIMED_RUNS" -> "1")
+    val knn3Rounds = (1 to 2).map { _ =>
+      val a = measure(4, "knn", knn3Env)
+      val b = math.min(measure(16, "knn", knn3Env), measure(16, "knn", knn3Env))
+      (a, b, a / (b * 4.0))
+    }
+    val k3T4 = knn3Rounds.map(_._1).min
+    val k3T16 = knn3Rounds.map(_._2).min
+    val k3Eff = k3T4 / (k3T16 * 4.0)
 
     // ---- per-query timings: min of 2 INTERLEAVED full passes -------------
     // single draws are polluted by bursty host interference (r2 recorded
@@ -168,25 +199,42 @@ object Bench {
     s.stop()
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val total = results.map(_._2).sum
-    val roundsJson = rounds.map { case (a, b, e) =>
-      s"""{"tN":${f(a)},"t4N":${f(b)},"eff":${f(e)}}""" }.mkString("[", ",", "]")
-    val knnRoundsJson = knnRounds.map { case (a, b, e) =>
-      s"""{"tN":${f(a)},"t4N":${f(b)},"eff":${f(e)}}""" }.mkString("[", ",", "]")
-    val scaling = s"""{"n_cores":4,"n4_cores":16,"pN_pages_per_sec":${f(tp4)},"p4N_pages_per_sec":${f(tp16)},""" +
-      s""""efficiency":${f(eff)},"bench_pages":$benchN,"tN_sec":${f(t4)},"t4N_sec":${f(t16)},""" +
-      s""""rounds":$roundsJson}"""
-    val scalingKnn = s"""{"n_cores":4,"n4_cores":16,"pipeline":"knn_iterative",""" +
-      s""""efficiency":${f(kEff)},"tN_sec":${f(kT4)},"t4N_sec":${f(kT16)},"rounds":$knnRoundsJson}"""
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","q_draws":2,"queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_knn":$scalingKnn}"""
-    println(json)
-    // DURABLE copy: the driver's artifact keeps only a tail of sbt stdout,
-    // which truncated the r3 line mid-JSON (parsed: null). The file
-    // survives sbt's epilogue regardless of how much the tail captures.
+    def roundsJson(rs: Seq[(Double, Double, Double)], fmt: Double => String) =
+      rs.map { case (a, b, e) =>
+        s"""{"tN":${fmt(a)},"t4N":${fmt(b)},"eff":${fmt(e)}}""" }.mkString("[", ",", "]")
+    def scalingJson(fmt: Double => String) =
+      s"""{"n_cores":4,"n4_cores":16,"pN_pages_per_sec":${fmt(tp4)},"p4N_pages_per_sec":${fmt(tp16)},""" +
+        s""""efficiency":${fmt(eff)},"bench_pages":$benchN,"tN_sec":${fmt(t4)},"t4N_sec":${fmt(t16)},""" +
+        s""""rounds":${roundsJson(rounds, fmt)}}"""
+    def scalingKnnJson(fmt: Double => String) =
+      s"""{"n_cores":4,"n4_cores":16,"pipeline":"knn_iterative","k":1,""" +
+        s""""efficiency":${fmt(kEff)},"tN_sec":${fmt(kT4)},"t4N_sec":${fmt(kT16)},"rounds":${roundsJson(knnRounds, fmt)}}"""
+    def scalingKnn3Json(fmt: Double => String) =
+      s"""{"n_cores":4,"n4_cores":16,"pipeline":"knn_declarative_topk","k":3,""" +
+        s""""efficiency":${fmt(k3Eff)},"tN_sec":${fmt(k3T4)},"t4N_sec":${fmt(k3T16)},"rounds":${roundsJson(knn3Rounds, fmt)}}"""
+    // FULL line (long query names, 4 dp) — durable copy for BASELINE.md
+    // and round-over-round per-query comparison
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","q_draws":2,""" +
+      s""""queries":$qsFull,"sf":"$sfDir","scaling":${scalingJson(f)},""" +
+      s""""scaling_knn":${scalingKnnJson(f)},"scaling_knn3":${scalingKnn3Json(f)}}"""
+    // STDOUT line: the driver's artifact keeps only the LAST 2000 chars of
+    // sbt stdout — the r3/r4 full line (2.7 KB) had its head cut and parsed
+    // as null. The compact form (qNN keys = the long names' numeric prefix,
+    // 3 dp) plus sbt's ~80-char epilogue fits the window, so the graded
+    // artifact is self-contained; BENCH_LAST.json carries the full names.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }.mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').last
+    val compactJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","q_draws":2,""" +
+      s""""queries":$qsShort,"sf":"$sfShort","scaling":${scalingJson(f3)},""" +
+      s""""scaling_knn":${scalingKnnJson(f3)},"scaling_knn3":${scalingKnn3Json(f3)}}"""
+    println(compactJson)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // bench numbers still went to stdout
   }
 }

@@ -75,6 +75,10 @@ object BenchPipeline {
       val knnN = sys.env.getOrElse("SPARK_GRAFT_KNN_N", "4000000").toLong
       val knnK = sys.env.getOrElse("SPARK_GRAFT_KNN_K", "1").toInt
       val knnT = sys.env.getOrElse("SPARK_GRAFT_KNN_T", "30000").toLong
+      runKnnAt(knnN, knnK, knnT)
+    }
+
+    def runKnnAt(knnN: Long, knnK: Int, knnT: Long): Long = {
       val q = spark.range(0L, knnN, 1L, cores.toInt * 4).select(
         col("id").as("qk"),
         ((pmod(col("id") * 7919, lit(17000)) - 8500).cast("double") / 100.0).as("qlat"),
@@ -124,12 +128,23 @@ object BenchPipeline {
       case "knn"     => runKnn()
       case other     => throw new IllegalArgumentException(s"unknown bench mode '$other'")
     }
-    run() // warm-up: JIT + page cache
-    // min of 2 timed runs; the parent draws additional children per level
+    // warm-up: JIT + page cache. SPARK_GRAFT_KNN_WARM_N shrinks the kNN
+    // warm-up input (the loop's code paths JIT just as well on N/4 — used
+    // by the expensive k = 3 regime to keep its children affordable);
+    // SPARK_GRAFT_TIMED_RUNS trims the per-child timed draws for the same
+    // reason (the parent compensates with multiple children per level).
+    val warmN = sys.env.get("SPARK_GRAFT_KNN_WARM_N").map(_.toLong)
+    if (mode == "knn" && warmN.isDefined)
+      runKnnAt(warmN.get,
+        sys.env.getOrElse("SPARK_GRAFT_KNN_K", "1").toInt,
+        sys.env.getOrElse("SPARK_GRAFT_KNN_T", "30000").toLong)
+    else run()
+    // min of timed runs; the parent draws additional children per level
     // (asymmetrically — see Bench: more on the noisier 16-core side) and
     // takes the min across all of a level's draws, picking the
     // steady-state mode of the bursty host noise
-    val times = (1 to 2).map { _ =>
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_TIMED_RUNS", "2").toInt
+    val times = (1 to timedRuns).map { _ =>
       val t0 = System.nanoTime()
       run()
       (System.nanoTime() - t0) / 1e9

@@ -44,6 +44,13 @@ object Knn {
    * the driver loop's serial cost is the scaling-critical quantity. */
   private val Debug = sys.env.contains("GRAFT_KNN_DEBUG")
 
+  /** Bench/debug override of the k-path routing (GRAFT_KNN_PATH =
+   * decl | agg | window): lets the scaling bench measure the declarative
+   * and imperative aggregates on the SAME workload (the BASELINE.md
+   * k = 3 comparison). Ignored when the requested path can't serve the
+   * call (k/key-type constraints) — production callers never set it. */
+  private def forcedPath: Option[String] = sys.env.get("GRAFT_KNN_PATH")
+
   /** The session's broadcast budget in bytes (≤0 = never broadcast).
    * Parsed with Spark's own byte-string parser (covers every legal form
    * — "10m", "2t", whitespace — a hand parser once threw on); AQE's
@@ -86,14 +93,28 @@ object Knn {
       tKey: String, tLat: String, tLon: String,
       k: Int, res: Int, reliableCheckpoint: Boolean = false): DataFrame = {
     require(k >= 1)
-    targets.schema(tKey).dataType match {
-      case LongType | IntegerType | ShortType | ByteType if k == 1 =>
-        applyNearest(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, res, reliableCheckpoint)
-      case LongType | IntegerType | ShortType | ByteType if k <= TopKSlots.MaxK =>
-        applyDeclK(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
-      case LongType | IntegerType | ShortType | ByteType =>
-        applyAgg(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
+    val integralKey = targets.schema(tKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val path = forcedPath match {
+      case Some("window") => "window"
+      case Some("agg") if integralKey => "agg"
+      case Some("decl") if integralKey && k >= 2 && k <= TopKSlots.MaxK => "decl"
       case _ =>
+        if (!integralKey) "window"
+        else if (k == 1) "nearest"
+        else if (k <= TopKSlots.MaxK) "decl"
+        else "agg"
+    }
+    path match {
+      case "nearest" =>
+        applyNearest(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, res, reliableCheckpoint)
+      case "decl" =>
+        applyDeclK(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
+      case "agg" =>
+        applyAgg(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
+      case "window" =>
         applyWindowed(queries, qKey, qLat, qLon, targets, tKey, tLat, tLon, k, res, reliableCheckpoint)
     }
   }
@@ -232,19 +253,30 @@ object Knn {
 
   /**
    * General k (2 ≤ k ≤ [[TopKSlots.MaxK]], integral target keys) — the
-   * declarative fast path: [[applyNearest]]'s construction with the
-   * single best-candidate slot generalized to k sorted (score, key)
-   * buffer slots. Per round the fresh-candidate stream aggregates
-   * through the declarative [[TopKSlots]], whose all-primitive
-   * fixed-width buffer lets HashAggregateExec fuse the PARTIAL
-   * aggregation into the scan→explode→join codegen span — zero
+   * declarative fast path: per round the fresh-candidate stream
+   * aggregates through the declarative [[TopKSlots]], whose
+   * all-primitive fixed-width buffer lets HashAggregateExec fuse the
+   * PARTIAL aggregation into the scan→explode→join codegen span — zero
    * per-candidate heap allocation, removing the ObjectHashAggregate
    * span-boundary row copy (~100 GB/child profiled) that capped the
-   * k > 1 scaling at ~0.7-0.8 (SCALE.md). Carried per-query state (the
-   * 2k slot columns, 16k bytes a side) folds in AFTER the aggregate via
-   * a narrow left-outer join whose projection merges the two sorted
-   * buffers with [[TopKSlots.mergeSlotColumns]] — the same
-   * order-statistic expressions the aggregate itself merges with.
+   * k > 1 scaling at ~0.7-0.8 (SCALE.md).
+   *
+   * Carried per-query state folds in by EXPLODE-AND-REAGGREGATE: both
+   * k-slot buffers (the carried top-k and the round's aggregate) explode
+   * to narrow (qkey, score, key) rows — ≤ 2k per open query, ~2% of the
+   * candidate volume — and a second [[TopKSlots]] aggregate merges them.
+   * Every piece is a built-in codegen'd op. (The first cut folded via a
+   * left-outer join whose projection merged the two sorted buffers with
+   * [[TopKSlots.mergeSlotColumns]]; each of the 2k output columns
+   * re-derived the full O(k²) struct-proxy least/greatest tree, and the
+   * projection measured ~4.5 µs/row — 18 s of a 24 s round — against
+   * ~1 s for the narrow re-aggregate.)
+   *
+   * Sentinel slots explode as (−∞, Long.MaxValue) rows and are NO-OPS in
+   * the update chain (a −∞ input either rejects against a full buffer or
+   * lands on a sentinel slot, writing back the identical value), so no
+   * filtering or seeding is needed and queries with no candidates yet
+   * survive every round via their own sentinel rows.
    */
   private[operators] def applyDeclK(
       queries: DataFrame,
@@ -256,8 +288,6 @@ object Knn {
       if (reliableCheckpoint) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val keyType = targets.schema(tKey).dataType
     val maxRings = (1L << res).toInt
-    val sCols = (0 until k).map(i => s"__s$i")
-    val kCols = (0 until k).map(i => s"__k$i")
 
     val tEnter = System.nanoTime()
     val tgt0 = targets.select(
@@ -275,13 +305,14 @@ object Knn {
       (-(dx * dx + dy * dy)).as("__score")
     }
 
-    // open carries the sorted top-k-so-far inline as 2k slot columns;
-    // sentinel slots = fewer than k real candidates yet
+    // open carries the sorted top-k-so-far as a struct of two k-arrays
+    // (scores desc, keys); all-sentinel = no real candidates yet
     val obs0 = org.apache.spark.sql.Observation(s"__knn_init_${System.nanoTime()}")
     var open: DataFrame = ckpt(queries.select(
-      Seq(col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon")) ++
-        sCols.map(c => lit(TopKSlots.SentinelScore).as(c)) ++
-        kCols.map(c => lit(TopKSlots.SentinelKey).as(c)): _*)
+      col(qKey).as("__qkey"), col(qLat).as("__qlat"), col(qLon).as("__qlon"),
+      struct(
+        array(Seq.fill(k)(lit(TopKSlots.SentinelScore)): _*).as("scores"),
+        array(Seq.fill(k)(lit(TopKSlots.SentinelKey)): _*).as("keys")).as("__tk"))
       .observe(obs0, count(lit(1)).as("n")))
     if (Debug) System.err.println(
       f"[knn] setup tgt+ckpt=${(System.nanoTime() - tEnter) / 1e9}%.3fs")
@@ -308,14 +339,24 @@ object Knn {
       // ONE fused span up to the partial aggregate: no union, no sentinel
       val roundK = cand.groupBy("__qkey")
         .agg(TopKByScore.topKSlots(k)(col("__score"), col("__tk64")).as("__new"))
-      val oldS = sCols.map(col); val oldK = kCols.map(col)
-      val newS = (0 until k).map(i => element_at(col("__new.scores"), i + 1))
-      val newK = (0 until k).map(i => element_at(col("__new.keys"), i + 1))
-      val (mS, mK) = TopKSlots.mergeSlotColumns(k, oldS, oldK, newS, newK)
-      val outS = (0 until k).map(i =>
-        when(col("__new").isNull, oldS(i)).otherwise(mS(i)).as(sCols(i)))
-      val outK = (0 until k).map(i =>
-        when(col("__new").isNull, oldK(i)).otherwise(mK(i)).as(kCols(i)))
+      // narrow fold: explode carried + fresh buffers to ≤ 2k rows/query,
+      // re-aggregate; max() recovers the coordinates (unique per qkey,
+      // present exactly once — on the carried side)
+      def slotRows(df: DataFrame, buf: String, withCoords: Boolean): DataFrame =
+        df.select(
+          col("__qkey"),
+          (if (withCoords) col("__qlat") else lit(null).cast("double")).as("__qlat"),
+          (if (withCoords) col("__qlon") else lit(null).cast("double")).as("__qlon"),
+          explode(arrays_zip(
+            col(s"$buf.scores").as("s"), col(s"$buf.keys").as("t"))).as("__p"))
+          .select(col("__qkey"), col("__qlat"), col("__qlon"),
+            col("__p.s").as("__score"), col("__p.t").as("__tk64"))
+      val merged = slotRows(open, "__tk", withCoords = true)
+        .union(slotRows(roundK, "__new", withCoords = false))
+        .groupBy("__qkey")
+        .agg(
+          TopKByScore.topKSlots(k)(col("__score"), col("__tk64")).as("__tk"),
+          max(col("__qlat")).as("__qlat"), max(col("__qlon")).as("__qlon"))
       val obs = org.apache.spark.sql.Observation(s"__knn_open_${r}_${System.nanoTime()}")
       if (Debug && sys.env.contains("GRAFT_KNN_EXPLAIN") && rounds.isEmpty) {
         val dbg = roundK
@@ -325,18 +366,18 @@ object Knn {
       }
       // done ⇔ buffer full (kth slot non-sentinel) and the kth distance
       // beats the ring-r bound — nothing outside ring r can improve it
-      val aggd = ckpt(open
-        .join(roundK, Seq("__qkey"), "left_outer")
-        .select(Seq(col("__qkey"), col("__qlat"), col("__qlon")) ++ outS ++ outK: _*)
-        .withColumn("__done", col(sCols.last) =!= lit(TopKSlots.SentinelScore) &&
-          -col(sCols.last) <= cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
+      val kth = element_at(col("__tk.scores"), k)
+      val aggd = ckpt(merged
+        .withColumn("__done", kth =!= lit(TopKSlots.SentinelScore) &&
+          -kth <= cell_disk_bound(col("__qlat"), col("__qlon"), res, lit(r)))
         .observe(obs, count(when(!col("__done"), 1)).as("open")))
       openCount = obs.get("open").asInstanceOf[Long]
       if (Debug) System.err.println(
         f"[knn] band [$lo,$r] open=$openCount t=${(System.nanoTime() - t0) / 1e9}%.3fs")
       if (rounds.isEmpty) org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(initialOpen)
       rounds += aggd
-      open = aggd.where(!col("__done")).drop("__done")
+      open = aggd.where(!col("__done"))
+        .select(col("__qkey"), col("__qlat"), col("__qlon"), col("__tk"))
       lo = r + 1
     }
     tgt0.unpersist()
@@ -346,12 +387,13 @@ object Knn {
         lit(null).cast(keyType).as(tKey), lit(0.0).as("dist_sq"), lit(0).as("rank"))
     }
     // slots are sorted, sentinels last → real ranks are 1..n by position
+    // (sentinel slots carry dist_sq = +∞ and are filtered)
     def emit(df: DataFrame): DataFrame =
-      df.select(col("__qkey"), posexplode(array((0 until k).map(i =>
-          struct(col(sCols(i)).as("s"), col(kCols(i)).as("t"))): _*))
-          .as(Seq("__pos", "__slot")))
-        .select(col("__qkey"), col("__slot.t").as("__tk64"),
-          (-col("__slot.s")).as("dist_sq"), (col("__pos") + 1).as("rank"))
+      df.select(col("__qkey"), col("__tk.scores").as("__ss"),
+          posexplode(col("__tk.keys")).as(Seq("__pos", "__tk64")))
+        .select(col("__qkey"), col("__tk64"),
+          (-element_at(col("__ss"), col("__pos") + 1)).as("dist_sq"),
+          (col("__pos") + 1).as("rank"))
         .where(col("dist_sq") =!= lit(Double.PositiveInfinity))
     val result0 = (rounds.init.map(a => emit(a.where(col("__done"))))
       :+ emit(rounds.last)).reduce(_.union(_))
