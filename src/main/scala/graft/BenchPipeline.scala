@@ -123,9 +123,47 @@ object BenchPipeline {
       n
     }
 
+    /** Isolated PIP-refinement probe on many-edge "coastline" rings — the
+     * E ≫ bands regime the y-banded edge index exists for (the bench
+     * fixture's 4-edge diamonds are the regime where it loses, as the
+     * Geometry scaladoc predicts). N deterministic probe points each test
+     * against one broadcast V-vertex ring; PIP_BANDS=0 runs the plain
+     * O(E) cast, >0 the indexed O(E/bands) one — decision-identical
+     * (GeometrySpec property), so the counts must agree between modes.
+     * Measured numbers live in BASELINE.md §edge-index. */
+    def runPip(): Long = {
+      val pipN = sys.env.getOrElse("SPARK_GRAFT_PIP_N", "2000000").toLong
+      val pipP = sys.env.getOrElse("SPARK_GRAFT_PIP_POLYS", "64").toInt
+      val pipV = sys.env.getOrElse("SPARK_GRAFT_PIP_VERTS", "512").toInt
+      val bands = sys.env.getOrElse("SPARK_GRAFT_PIP_BANDS", "16").toInt
+      val polys0 = graft.sources.Fixtures.coastPolygonsDf(spark, pipP, pipV)
+      val polys =
+        if (bands > 0)
+          polys0.withColumn("__pidx", graft.functions.polygon_y_index(col("ring"), bands))
+        else polys0
+      // probe points: per point, its polygon's first vertex + a spread
+      // covering inside and outside (deterministic in the point id)
+      val pts = spark.range(0L, pipN, 1L, cores.toInt * 4).select(
+        col("id"),
+        pmod(col("id"), lit(pipP)).as("polygon_id"),
+        ((pmod(col("id") * 7919, lit(400)) - 200).cast("double") / 50.0).as("__dx"),
+        ((pmod(col("id") * 104729, lit(400)) - 200).cast("double") / 50.0).as("__dy"))
+      val cand = pts.join(broadcast(polys), "polygon_id")
+        .withColumn("__px", element_at(col("ring"), 1) + col("__dx"))
+        .withColumn("__py", element_at(col("ring"), 2) + col("__dy"))
+      val hit =
+        if (bands > 0)
+          cand.where(graft.functions.point_in_polygon_indexed(
+            col("__px"), col("__py"), col("ring"), col("__pidx")))
+        else
+          cand.where(graft.functions.point_in_polygon(col("__px"), col("__py"), col("ring")))
+      hit.count()
+    }
+
     def run(): Long = mode match {
       case "spatial" => runSpatial()
       case "knn"     => runKnn()
+      case "pip"     => runPip()
       case other     => throw new IllegalArgumentException(s"unknown bench mode '$other'")
     }
     // warm-up: JIT + page cache. SPARK_GRAFT_KNN_WARM_N shrinks the kNN

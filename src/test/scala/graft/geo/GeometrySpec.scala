@@ -60,6 +60,26 @@ class GeometrySpec extends AnyFunSuite {
     }
   }
 
+  test("indexed PIP decision-identical on many-edge coastline rings") {
+    // the E >> bands regime the index exists for (BASELINE.md measures
+    // the probe at 512-2048 vertices) — same identity contract on the
+    // bench fixture's own ring generator, probed on a dense grid plus
+    // every vertex y-level
+    for (vertices <- Seq(64, 256, 1024); bands <- Seq(4, 16, 64)) {
+      val ring = graft.sources.Fixtures.coastRing(10.0, -20.0, 2.0, vertices)
+      val idx = Geometry.yBandIndex(ring, bands)
+      val n = ring.length / 2
+      val ys = (0 until 60).map(k => -23.5 + 0.12 * k) ++
+        (0 until n by math.max(1, n / 64)).map(i => ring(2 * i + 1))
+      val xs = (0 until 30).map(k => 6.5 + 0.24 * k)
+      for (y <- ys; x <- xs) {
+        val plain = Geometry.pointInPolygon(x, y, ring)
+        val indexed = Geometry.pointInPolygonIndexed(x, y, ring, idx)
+        assert(plain == indexed, s"v=$vertices bands=$bands p=($x,$y)")
+      }
+    }
+  }
+
   test("bbox") {
     assert(Geometry.bbox(diamond) == ((1.0, 1.0, 9.0, 9.0)))
   }
