@@ -433,6 +433,19 @@ object SparkEntry {
         col("lat"), col("lon"), col("ring"), res = 6, edgeIndexBands = 4)
         .select("c_custkey", "n_nationkey")),
 
+    // cell-clustered LAYOUT round-trip: write the points range-partitioned
+    // and sorted by cell_id(res 6) (each parquet file covers a disjoint id
+    // range — SpatialLayoutSpec pins that), then read through the bbox
+    // path, whose per-ix-strip cell ranges push down to the scan and whose
+    // exact lat/lon test is what the oracle reproduces (cell arithmetic is
+    // the q21-proven exact form)
+    "q77_layout_bbox" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q77").toString
+      SpatialLayout.writeClustered(customerPoints(s, d), "lat", "lon", 6, root, partitions = 8)
+      SpatialLayout.readBBox(s, root, -20.0, 35.0, -40.0, 70.0)
+        .select(col("c_custkey"), col("cell_id"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -888,6 +901,15 @@ object SparkEntry {
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
          |SELECT c_custkey, n_nationkey FROM pts, ctr
          |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
+
+    // q77: the layout's bbox read = exact bbox filter + the q21 cell form
+    "q77_layout_bbox" ->
+      (s"""WITH $PointsSqlCte
+         |SELECT c_custkey,
+         |  (6::BIGINT << 58) | (CAST(floor(((lon + 180.0)/360.0)*64.0) AS BIGINT) << 29) |
+         |    CAST(floor(((lat + 90.0)/180.0)*64.0) AS BIGINT) AS cell_id
+         |FROM pts
+         |WHERE lat BETWEEN -20.0 AND 35.0 AND lon BETWEEN -40.0 AND 70.0""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
