@@ -446,6 +446,16 @@ object SparkEntry {
         .select(col("c_custkey"), col("cell_id"))
     }),
 
+    // pruned spatial join over the clustered layout: only files covering
+    // the polygons' cells are scanned; row-set contract identical to the
+    // full-scan q23 (SpatialLayoutSpec pins the equality on fixtures too)
+    "q78_layout_join" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q78").toString
+      SpatialLayout.writeClustered(customerPoints(s, d), "lat", "lon", 6, root, partitions = 8)
+      SpatialLayout.joinPolygons(s, root, nationPolygons(s, d), col("ring"))
+        .select("c_custkey", "n_nationkey")
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -910,6 +920,12 @@ object SparkEntry {
          |    CAST(floor(((lat + 90.0)/180.0)*64.0) AS BIGINT) AS cell_id
          |FROM pts
          |WHERE lat BETWEEN -20.0 AND 35.0 AND lon BETWEEN -40.0 AND 70.0""".stripMargin),
+
+    // q78: scan-pruned layout join — row set must equal the q23 full join
+    "q78_layout_join" ->
+      (s"""WITH $PointsSqlCte, $CentroidSqlCte
+         |SELECT c_custkey, n_nationkey FROM pts, ctr
+         |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

@@ -101,6 +101,60 @@ object SpatialLayout {
         col(m.lonCol) >= lonMin && col(m.lonCol) <= lonMax)
   }
 
+  /**
+   * Rows whose `cell_id` is one of `cells` (exact membership). Sorted
+   * distinct ids are first merged into contiguous ranges (consecutive
+   * ids = consecutive `iy` within an `ix` strip — exactly what a
+   * polygon's cell cover produces), each pushed to the scan as a
+   * BETWEEN; the exact `isin` runs on top. Past `maxRanges` merged
+   * ranges the pruning falls back to the single [min, max] covering
+   * range — still a valid superset.
+   */
+  def readCells(
+      spark: SparkSession, path: String,
+      cells: Seq[Long], maxRanges: Int = 256): DataFrame = {
+    require(cells.nonEmpty, "empty cell set")
+    val sorted = cells.distinct.sorted
+    val merged = sorted.tail.foldLeft(List((sorted.head, sorted.head))) {
+      case ((lo, hi) :: rest, c) =>
+        if (c == hi + 1) (lo, c) :: rest else (c, c) :: (lo, hi) :: rest
+      case (Nil, c) => List((c, c)) // unreachable; keeps the match total
+    }.reverse
+    val ranges =
+      if (merged.size <= maxRanges) merged
+      else List((sorted.head, sorted.last))
+    val prune = ranges
+      .map { case (a, b) =>
+        if (a == b) col("cell_id") === a else col("cell_id") >= a && col("cell_id") <= b }
+      .reduce(_ || _)
+    read(spark, path).where(prune).where(col("cell_id").isin(sorted: _*))
+  }
+
+  /**
+   * Spatial join against the CLUSTERED table with scan-side pruning: only
+   * layout files covering the polygons' cells are read at all, then the
+   * rows refine through the ordinary two-phase [[SpatialJoin]] (same
+   * row-set contract — SpatialLayoutSpec pins equality with the
+   * full-scan join). The polygon layer's rings are collected to the
+   * driver to compute the cover — use this for the broadcast-sized
+   * polygon regime only (the same regime where SpatialJoin broadcasts);
+   * huge polygon layers should join the full clustered scan instead.
+   */
+  def joinPolygons(
+      spark: SparkSession, path: String,
+      polygons: DataFrame, ringCol: org.apache.spark.sql.Column,
+      saltBuckets: Int = 1, edgeIndexBands: Int = 0): DataFrame = {
+    val m = readMeta(spark, path)
+    val cover = polygons.select(ringCol.as("__ring")).collect()
+      .iterator
+      .flatMap(r => graft.geo.Geometry.cellCover(
+        r.getSeq[Double](0).toArray, m.res))
+      .toSeq
+    val pts = readCells(spark, path, cover)
+    SpatialJoin(pts, polygons, col(m.latCol), col(m.lonCol), ringCol, m.res,
+      saltBuckets = saltBuckets, edgeIndexBands = edgeIndexBands)
+  }
+
   // ---- metadata (tiny key=value file, Hadoop FS so any scheme works) ----
 
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {

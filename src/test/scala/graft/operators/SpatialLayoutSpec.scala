@@ -79,6 +79,33 @@ class SpatialLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("readCells merges contiguous ids into pushed ranges, exact membership") {
+    val root = freshLayout()
+    // a polygon-cover-like set: two iy-runs inside one ix strip + a loner
+    val base = CellIndex.latLonToCell(10.0, 20.0, res)
+    val cells = Seq(base, base + 1, base + 2, base + 10, base + 11,
+      CellIndex.latLonToCell(-50.0, -120.0, res))
+    val got = SpatialLayout.readCells(spark, root, cells)
+    val gotCells = got.select("cell_id").as[Long].collect().toSet
+    assert(gotCells.subsetOf(cells.toSet))
+    // exact membership == brute isin over the full scan
+    val want = SpatialLayout.read(spark, root)
+      .where(col("cell_id").isin(cells: _*)).select("id").as[Long].collect().sorted
+    assert(got.select("id").as[Long].collect().sorted.sameElements(want))
+  }
+
+  test("joinPolygons over the layout equals the full-scan SpatialJoin") {
+    val root = freshLayout()
+    val polys = graft.sources.Fixtures.polygonsDf(spark, 12)
+    val pruned = SpatialLayout.joinPolygons(spark, root, polys, col("ring"))
+      .select("id", "polygon_id").as[(Long, Long)].collect().sorted
+    val full = SpatialJoin(SpatialLayout.read(spark, root), polys,
+        col("lat"), col("lon"), col("ring"), res)
+      .select("id", "polygon_id").as[(Long, Long)].collect().sorted
+    assert(pruned.sameElements(full))
+    assert(pruned.nonEmpty)
+  }
+
   test("wide bbox falls back to the single covering range, still exact") {
     val root = freshLayout()
     // maxRanges = 1 forces the fallback regardless of strip count
