@@ -456,6 +456,31 @@ object SparkEntry {
         .select("c_custkey", "n_nationkey")
     }),
 
+    // as-of (point-in-time) join: each non-purchase event picks up the
+    // user's latest purchase at-or-before it — AsofJoin's union-and-window
+    // plan (join-free, one keyed shuffle); oracle is DuckDB's native
+    // ASOF LEFT JOIN, an entirely independent implementation
+    "q79_asof_join" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val states = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(round(col("value") * 100).cast("long")).as("purchase_cents"),
+          max("event_id").as("purchase_event"))
+        .withColumn("purchase_ts", col("ts"))
+      val probes = ev.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      AsofJoin(probes, states, Seq("user_id"), "ts", "ts",
+        Seq("purchase_ts", "purchase_cents", "purchase_event"))
+    }),
+
+    // KMV bottom-k distinct sketch per event type (k = 16 → declarative
+    // TopKSlots path); integer-exact estimator, mirrored step-for-step in
+    // the oracle via row_number over the same portable md5-prefix hashes
+    "q80_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(
+        tbl(s, d, "events").withColumn("u", col("user_id").cast("string")),
+        Seq("event_type"), "u", k = 16)),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -926,6 +951,40 @@ object SparkEntry {
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
          |SELECT c_custkey, n_nationkey FROM pts, ctr
          |WHERE abs(lon - cx)/w + abs(lat - cy)/h < 1""".stripMargin),
+
+    // q79: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union-and-window as-of plan (inclusive backward: p.ts >= s.ts)
+    "q79_asof_join" ->
+      ("""WITH states AS (
+         |  SELECT user_id, ts, ts AS purchase_ts,
+         |    max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents,
+         |    max(event_id) AS purchase_event
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         |probes AS (
+         |  SELECT event_id, user_id, ts, event_type FROM events
+         |  WHERE event_type <> 'purchase')
+         |SELECT p.event_id, p.user_id, p.ts, p.event_type,
+         |  s.purchase_ts, s.purchase_cents, s.purchase_event
+         |FROM probes p ASOF LEFT JOIN states s
+         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin),
+
+    // q80: the KMV sketch re-derived in SQL — same 52-bit md5-prefix
+    // hash, same distinct → bottom-k → integer-division estimator
+    "q80_kmv_distinct" ->
+      ("""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |      FROM h),
+         |g AS (SELECT event_type, count(*) AS cnt,
+         |        max(CASE WHEN rn = 16 THEN hv END) AS h16
+         |      FROM r GROUP BY event_type)
+         |SELECT event_type, CAST(least(cnt, 16) AS BIGINT) AS distinct_hashes,
+         |  CAST(CASE WHEN cnt < 16 THEN cnt
+         |            ELSE (15 * 4503599627370496) // h16 END AS BIGINT) AS est_distinct
+         |FROM g""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distinct-count sketching via KMV (k minimum values) — the classic
+ * bottom-k estimator (Bar-Yossef et al., "Counting distinct elements in
+ * a data stream", RANDOM 2002): hash every value uniformly into [0, 2^B),
+ * keep the k smallest DISTINCT hashes per group, and estimate
+ * |distinct| ≈ (k−1) · 2^B / h_k where h_k is the k-th smallest hash.
+ * The reference engine has nothing approximate — its counts are exact
+ * in-memory dict sizes (reference: src/mcp_server_tree_sitter/tools/
+ * analysis.py:63-112) — but at 100 TB an exact global distinct is a
+ * full shuffle of every value; a KMV sketch ships k longs per group.
+ *
+ * Why not HyperLogLog (Spark's approx_count_distinct): not oracle-able —
+ * no two engines agree register-for-register. KMV is EXACTLY
+ * reproducible in plain SQL (row_number over distinct hashes), and this
+ * implementation keeps every step integer-exact so DuckDB matches
+ * bit-for-bit:
+ *  - hash = first 13 hex chars of md5 (the only portable hash) = 52
+ *    uniform bits — small enough that a LONG→DOUBLE round-trip through
+ *    [[TopKSlots]]'s score channel is exact (2^52 < 2^53);
+ *  - the estimator is integer division ((k−1) · 2^52) / h_k — no
+ *    float rounding to diverge on.
+ *
+ * Plan shape (both stages map-side partial, k-bounded exchange state):
+ *  1. distinct (group, hash) — the narrow-row distinct shuffle Spark
+ *     partial-aggregates automatically;
+ *  2. groupBy(group) with [[TopKSlots]] on (score = −hash, key = hash):
+ *     a declarative fixed-width aggregate that fuses into the codegen
+ *     span, so the bottom-k of billions of hashes costs k doubles +
+ *     k longs per group in the exchange.
+ *
+ * Sketches are mergeable (union the slot arrays, re-take bottom-k), so
+ * per-partition / per-day sketches roll up without rescanning — the
+ * property that makes KMV a layout-friendly 100-TB citizen.
+ */
+object Sketches {
+  /** Hash bits: 13 hex chars of md5 = 52 bits, double-exact. */
+  val HashBits: Int = 52
+  private val Scale: Long = 1L << HashBits
+
+  /** Portable 52-bit value hash (identical in DuckDB:
+   * `CAST(('0x' || substr(md5(v), 1, 13)) AS BIGINT)`). */
+  def portableHash52(value: Column): Column =
+    conv(substring(md5(value), 1, 13), 16, 10).cast("long")
+
+  /**
+   * Per-group KMV distinct-count estimate of `valueCol` (a string
+   * column; hash non-strings yourself via [[portableHash52]]-compatible
+   * casts upstream). Output: group columns + `distinct_hashes` (number
+   * of live sketch slots, = min(k, true distinct)) + `est_distinct`
+   * (exact count when the group has < k distinct values — the sketch
+   * IS the set then — else the KMV estimate, floored to BIGINT).
+   */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 1024, s"k must be in [2, 1024] (got $k)")
+    val hv = portableHash52(col(valueCol))
+    val hashes = df
+      .select(groupCols.map(col) :+ hv.as("__kmv_h"): _*)
+      .where(col("__kmv_h").isNotNull)
+      .distinct()
+    // bottom-k == top-k of the negated hash; 52-bit magnitudes are exact
+    // in a double, so the slot scores reconstruct the hashes losslessly.
+    // k <= MaxK rides the declarative TopKSlots (codegen-fused partials);
+    // larger sketches fall back to the imperative TopKAggExpr — both emit
+    // their `keys` array sorted hash-ascending (score = -hash descending).
+    val slots =
+      if (k <= TopKSlots.MaxK)
+        TopKByScore.topKSlots(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
+      else
+        TopKByScore.topK(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
+    val agg = hashes.groupBy(groupCols.map(col): _*)
+      .agg(slots.as("__kmv"))
+    // live slots carry keys < SentinelKey (hashes are 52-bit; TopKSlots
+    // pads to k with the sentinel, TopKAggExpr trims — the filter counts
+    // both shapes). element_at(.., k) = h_k stays inside the otherwise
+    // branch: on a trimmed short array an eager lookup would THROW under
+    // ANSI, and it is only defined when the sketch is full anyway.
+    val keysArr = col("__kmv").getField("keys")
+    val live = size(filter(keysArr, x => x < lit(TopKSlots.SentinelKey))).cast("long")
+    agg.select(groupCols.map(col) :+ live.as("distinct_hashes") :+ col("__kmv"): _*)
+      .withColumn("est_distinct",
+        when(col("distinct_hashes") < k, col("distinct_hashes"))
+          .otherwise(expr(s"${(k - 1).toLong * Scale}L div element_at(__kmv.keys, $k)")))
+      .drop("__kmv")
+  }
+}
