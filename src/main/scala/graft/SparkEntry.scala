@@ -481,6 +481,22 @@ object SparkEntry {
         tbl(s, d, "events").withColumn("u", col("user_id").cast("string")),
         Seq("event_type"), "u", k = 16)),
 
+    // banded big-x-big interval join (no broadcast side assumed): event
+    // cents vs +/-50-cent customer-balance windows, then a per-event
+    // rollup — the band equi-join + exact BETWEEN never plans a nested
+    // loop (IntervalJoinSpec pins the plan shape and exactly-once pairs)
+    "q81_interval_join" -> ((s, d) => {
+      val pts = tbl(s, d, "events").select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val ivs = tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") - 50L).as("lo"),
+          (round(col("c_acctbal") * 100).cast("long") + 50L).as("hi"))
+      IntervalJoin(pts, ivs, "cents", "lo", "hi", bandWidth = 100L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_windows"), min("c_custkey").as("min_custkey"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -985,6 +1001,20 @@ object SparkEntry {
          |  CAST(CASE WHEN cnt < 16 THEN cnt
          |            ELSE (15 * 4503599627370496) // h16 END AS BIGINT) AS est_distinct
          |FROM g""".stripMargin),
+
+    // q81: plain theta join in DuckDB — the banded plan must produce the
+    // identical pair set (and therefore identical rollups)
+    "q81_interval_join" ->
+      ("""WITH pts AS (
+         |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |ivs AS (
+         |  SELECT c_custkey,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) - 50 AS lo,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) + 50 AS hi
+         |  FROM customer WHERE c_mktsegment = 'BUILDING')
+         |SELECT event_id, count(*) AS n_windows, min(c_custkey) AS min_custkey
+         |FROM pts JOIN ivs ON cents BETWEEN lo AND hi
+         |GROUP BY event_id""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
