@@ -98,6 +98,11 @@ object SparkEntry {
       |  FROM sums GROUP BY doc_id)
       |""".stripMargin
 
+  /** q82 mix config: rates are pipeline configuration, inlined into the
+   * oracle as exact integer thresholds via Curation.rateThreshold. */
+  private val MixSalt = "mix-v1"
+  private val MixRates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.0)
+
   /** DuckDB mirror of the PagesFromDocs url derivation. */
   private val UrlSql =
     "('https://' || source || '.example/' || doc_id::VARCHAR || '.html')"
@@ -495,6 +500,25 @@ object SparkEntry {
       IntervalJoin(pts, ivs, "cents", "lo", "hi", bandWidth = 100L)
         .groupBy("event_id")
         .agg(count(lit(1)).as("n_windows"), min("c_custkey").as("min_custkey"))
+    }),
+
+    // deterministic source mixing: the keep decision is a pure function
+    // of (doc_id, salt) — retry/rerun/engine independent; DuckDB
+    // recomputes the identical subset from the same hash + inlined
+    // thresholds (no rand() anywhere)
+    "q82_corpus_mix" -> ((s, d) =>
+      Curation.mixCorpus(tbl(s, d, "documents"),
+        "source", "doc_id", MixRates, defaultRate = 0.2, salt = MixSalt)
+        .select("doc_id", "source")),
+
+    // per-group quality cutoff: keep events at-or-above their type's
+    // exact p75 of integer cents (quarter quantiles are bit-portable
+    // across engines — see Curation.quantileThreshold contract)
+    "q83_quality_cutoff" -> ((s, d) => {
+      val pts = tbl(s, d, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Curation.quantileThreshold(pts, Seq("event_type"), "cents", 0.75)
+        .select("event_id", "event_type", "cents")
     }),
 
     "q24_knn" -> ((s, d) =>
@@ -1015,6 +1039,28 @@ object SparkEntry {
          |SELECT event_id, count(*) AS n_windows, min(c_custkey) AS min_custkey
          |FROM pts JOIN ivs ON cents BETWEEN lo AND hi
          |GROUP BY event_id""".stripMargin),
+
+    // q82: identical hash + identical thresholds recompute the identical
+    // deterministic sample
+    "q82_corpus_mix" -> {
+      val cases = MixRates.map { case (src, r) =>
+        s"WHEN '$src' THEN ${Curation.rateThreshold(r)}" }.mkString(" ")
+      val dflt = Curation.rateThreshold(0.2)
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$MixSalt'), 1, 13)) AS BIGINT)
+         |  < (CASE source $cases ELSE $dflt END)""".stripMargin
+    },
+
+    // q83: quantile_cont shares the (n-1)q convention with Spark's
+    // percentile; quarter q + integer cents => bit-identical thresholds
+    "q83_quality_cutoff" ->
+      ("""WITH pts AS (
+         |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |th AS (SELECT event_type, quantile_cont(cents, 0.75) AS thr
+         |       FROM pts GROUP BY event_type)
+         |SELECT p.event_id, p.event_type, p.cents
+         |FROM pts p JOIN th USING (event_type) WHERE cents >= thr""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation primitives: deterministic sampling / source mixing and
+ * per-group quantile thresholding — the two decisions every
+ * training-data pipeline applies between "raw crawl" and "training mix"
+ * (downsample over-represented sources, keep only above-quality-cutoff
+ * documents). The reference has per-group sampling only as a driver-side
+ * `collections + slice` (reference: src/mcp_server_tree_sitter/tools/
+ * analysis.py:544-557, A6/W3); these are its corpus-scale forms.
+ *
+ * Determinism is the design center: the keep/drop decision for a row is
+ * a PURE FUNCTION of (key, salt) — `md5`-prefix hash (the portable hash)
+ * under a fixed threshold — so reruns, retried stages, and incremental
+ * waves all agree row-by-row (no `rand()`, whose per-task seeds change
+ * under retry and repartition: a retried stage would sample a DIFFERENT
+ * subset, silently corrupting an incremental corpus). The same property
+ * makes samples REPRODUCIBLE across engines — DuckDB recomputes the
+ * identical subset from the identical expression (q82).
+ *
+ * Scale: sampling is a stateless scan-side filter (no shuffle, pushes
+ * nothing, prunes early); mixing adds only a literal CASE over the
+ * config-sized rate map. Quantile thresholds need one aggregation over
+ * the value column + a broadcast-sized (|groups| rows) join back.
+ */
+object Curation {
+  private val Scale: Long = 1L << Sketches.HashBits
+
+  /** Threshold form of `rate` ∈ [0, 1]: keep iff hash52 < floor(rate·2^52).
+   * Exposed so oracles can inline the exact same literal. */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1] (got $rate)")
+    math.min((rate * Scale).toLong, Scale)
+  }
+
+  /** Deterministic keep decision for (key, salt) at `rate`. The salt
+   * namespaces experiments: different salts give independent samples of
+   * the same corpus; the same salt is stable forever. */
+  def hashKeep(key: Column, rate: Double, salt: String): Column =
+    Sketches.portableHash52(concat(key.cast("string"), lit(":" + salt))) <
+      lit(rateThreshold(rate))
+
+  /** Uniform deterministic sample of `df` at `rate` keyed by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
+    df.where(hashKeep(col(keyCol), rate, salt))
+
+  /**
+   * Source mixing: per-`sourceCol` sampling rates (missing sources use
+   * `defaultRate`). The rate map is configuration (pipeline mix weights),
+   * so it compiles into a literal CASE chain — no join, no broadcast,
+   * scan-side filter. Deterministic per (key, salt) as above.
+   */
+  def mixCorpus(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (src, rate)) =>
+        when(col(sourceCol) === src, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    val h = Sketches.portableHash52(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    df.where(h < threshold)
+  }
+
+  /**
+   * Keep rows whose LongType `valueCol` is at-or-above their group's
+   * `q`-quantile (exact, interpolated). PORTABILITY CONTRACT: `q` must
+   * be a quarter (0.25 / 0.5 / 0.75) — with integer values, the
+   * (n−1)·q index convention (shared by Spark `percentile` and DuckDB
+   * `quantile_cont`) then interpolates with exact binary fractions, so
+   * both engines produce bit-identical doubles (measured: q = 0.9
+   * diverges in the last ulp — 43.999999999999986 vs 44.0).
+   *
+   * Scale note: exact percentile aggregates the full value multiset per
+   * group — right for oracle-able curation cutoffs over bounded value
+   * domains (scores, cents). For unbounded domains at 100 TB use
+   * `approxThresholds = true` (t-digest `approx_percentile`, bounded
+   * state; no cross-engine oracle). The threshold table is |groups|
+   * rows → broadcast join back.
+   */
+  def quantileThreshold(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      q: Double,
+      approxThresholds: Boolean = false): DataFrame = {
+    require(Seq(0.25, 0.5, 0.75).contains(q) || approxThresholds,
+      s"exact cross-engine quantiles are only portable at quarters (got $q); " +
+        "use approxThresholds = true for other q")
+    require(df.schema(valueCol).dataType == org.apache.spark.sql.types.LongType,
+      s"$valueCol must be BIGINT (exact quantile arithmetic)")
+    val thrExpr =
+      if (approxThresholds) approx_percentile(col(valueCol), lit(q), lit(10000)).cast("double")
+      else percentile(col(valueCol), lit(q))
+    val thresholds = df.groupBy(groupCols.map(col): _*)
+      .agg(thrExpr.as("__cur_thr"))
+    df.join(broadcast(thresholds), groupCols)
+      .where(col(valueCol) >= col("__cur_thr"))
+      .drop("__cur_thr")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def refHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 13), 16)
+  }
+
+  private lazy val docs = spark.range(0, 10000).select(
+    col("id").as("doc_id"),
+    concat(lit("src"), pmod(col("id"), lit(8)).cast("string")).as("source"))
+
+  test("hashSample keeps exactly the reference-hash subset, independent of partitioning") {
+    val keep = (0L until 10000L)
+      .filter(i => refHash(s"$i:exp1") < Curation.rateThreshold(0.3)).toSet
+    val got = Curation.hashSample(docs, "doc_id", 0.3, "exp1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == keep)
+    val got13 = Curation.hashSample(docs.repartition(13), "doc_id", 0.3, "exp1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got13 == keep)
+    // a uniform hash at rate 0.3 keeps ~30%
+    assert(math.abs(got.size - 3000) < 200, s"got ${got.size} of 10000 at rate 0.3")
+  }
+
+  test("different salts draw independent samples; rate 0/1 are empty/full") {
+    val a = Curation.hashSample(docs, "doc_id", 0.5, "a").select("doc_id").as[Long].collect().toSet
+    val b = Curation.hashSample(docs, "doc_id", 0.5, "b").select("doc_id").as[Long].collect().toSet
+    assert(a != b)
+    val overlap = a.intersect(b).size.toDouble / 10000
+    assert(overlap > 0.15 && overlap < 0.35, s"salted samples not independent: $overlap")
+    assert(Curation.hashSample(docs, "doc_id", 0.0, "z").count() == 0)
+    assert(Curation.hashSample(docs, "doc_id", 1.0, "z").count() == 10000)
+  }
+
+  test("mixCorpus applies per-source rates with the default for unlisted sources") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val got = Curation.mixCorpus(docs, "source", "doc_id", rates, 0.2, "mix")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val want = (0L until 10000L).flatMap { i =>
+      val src = s"src${i % 8}"
+      val rate = rates.getOrElse(src, 0.2)
+      if (refHash(s"$i:mix") < Curation.rateThreshold(rate)) Some((i, src)) else None
+    }.toSet
+    assert(got.toSet == want)
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 1250) // rate 1.0 keeps all of src0
+    assert(!bySrc.contains("src2")) // rate 0.0 drops all of src2
+  }
+
+  /** Interpolated quantile with the (n-1)q convention, as both engines. */
+  private def refQuantile(vs: Seq[Long], q: Double): Double = {
+    val s = vs.sorted
+    val idx = (s.size - 1) * q
+    val lo = idx.toInt
+    val frac = idx - lo
+    if (frac == 0.0) s(lo).toDouble
+    else s(lo) + frac * (s(lo + 1) - s(lo))
+  }
+
+  private lazy val vals = spark.range(0, 5000).select(
+    concat(lit("g"), pmod(col("id"), lit(3)).cast("string")).as("g"),
+    pmod(col("id") * 7919, lit(100000)).as("v"))
+
+  for (q <- Seq(0.25, 0.5, 0.75)) {
+    test(s"quantileThreshold(q=$q) keeps exactly the rows at-or-above the group quantile") {
+      val got = Curation.quantileThreshold(vals, Seq("g"), "v", q)
+        .select("g", "v").as[(String, Long)].collect()
+      val byG = vals.select("g", "v").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val want = byG.toSeq.flatMap { case (g, vs) =>
+        val thr = refQuantile(vs, q)
+        vs.filter(_ >= thr).map(v => (g, v))
+      }
+      assert(got.sorted.toSeq == want.toSeq.sorted)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("approx threshold path works for non-quarter q and stays per-group consistent") {
+    val got = Curation.quantileThreshold(vals, Seq("g"), "v", 0.9, approxThresholds = true)
+    val counts = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    // ~10% of each ~1667-row group survives a p90 cutoff (approx, so loose)
+    assert(counts.keySet == Set("g0", "g1", "g2"))
+    counts.values.foreach(n => assert(n > 80 && n < 350, s"implausible survivor count $n"))
+  }
+
+  test("non-quarter exact q is rejected") {
+    intercept[IllegalArgumentException] {
+      Curation.quantileThreshold(vals, Seq("g"), "v", 0.9)
+    }
+  }
+}
