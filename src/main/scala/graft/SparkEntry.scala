@@ -486,6 +486,15 @@ object SparkEntry {
         tbl(s, d, "events").withColumn("u", col("user_id").cast("string")),
         Seq("event_type"), "u", k = 16)),
 
+    // sketch ROLLUP: per-type sketches merged to a global estimate
+    // without rescanning events — exact (bottom-k of bottom-k), so the
+    // oracle is simply the direct global sketch in SQL
+    "q84_kmv_rollup" -> ((s, d) => {
+      val ev = tbl(s, d, "events").withColumn("u", col("user_id").cast("string"))
+      Sketches.kmvMerge(
+        Sketches.kmvSketch(ev, Seq("event_type"), "u", 16), Seq.empty, 16)
+    }),
+
     // banded big-x-big interval join (no broadcast side assumed): event
     // cents vs +/-50-cent customer-balance windows, then a per-event
     // rollup — the band equi-join + exact BETWEEN never plans a nested
@@ -1022,6 +1031,19 @@ object SparkEntry {
          |        max(CASE WHEN rn = 16 THEN hv END) AS h16
          |      FROM r GROUP BY event_type)
          |SELECT event_type, CAST(least(cnt, 16) AS BIGINT) AS distinct_hashes,
+         |  CAST(CASE WHEN cnt < 16 THEN cnt
+         |            ELSE (15 * 4503599627370496) // h16 END AS BIGINT) AS est_distinct
+         |FROM g""".stripMargin),
+
+    // q84: the rollup is exact, so the oracle is the DIRECT global sketch
+    "q84_kmv_rollup" ->
+      ("""WITH h AS (
+         |  SELECT DISTINCT
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+         |g AS (SELECT count(*) AS cnt, max(CASE WHEN rn = 16 THEN hv END) AS h16 FROM r)
+         |SELECT CAST(least(cnt, 16) AS BIGINT) AS distinct_hashes,
          |  CAST(CASE WHEN cnt < 16 THEN cnt
          |            ELSE (15 * 4503599627370496) // h16 END AS BIGINT) AS est_distinct
          |FROM g""".stripMargin),

@@ -59,25 +59,68 @@ object Sketches {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      k: Int = 16): DataFrame = {
+      k: Int = 16): DataFrame =
+    estimate(kmvSketch(df, groupCols, valueCol, k), k)
+
+  /**
+   * Per-group KMV sketch as a carryable column `__kmv` (struct of the
+   * bottom-k slot arrays) — the MERGEABLE form: materialize per-partition
+   * / per-day / per-source sketches once, roll them up later with
+   * [[kmvMerge]] without rescanning the data.
+   */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
     require(k >= 2 && k <= 1024, s"k must be in [2, 1024] (got $k)")
     val hv = portableHash52(col(valueCol))
     val hashes = df
       .select(groupCols.map(col) :+ hv.as("__kmv_h"): _*)
       .where(col("__kmv_h").isNotNull)
       .distinct()
-    // bottom-k == top-k of the negated hash; 52-bit magnitudes are exact
-    // in a double, so the slot scores reconstruct the hashes losslessly.
-    // k <= MaxK rides the declarative TopKSlots (codegen-fused partials);
-    // larger sketches fall back to the imperative TopKAggExpr — both emit
-    // their `keys` array sorted hash-ascending (score = -hash descending).
+    aggSlots(hashes, groupCols, k)
+  }
+
+  /**
+   * Roll per-group sketches up to a COARSER grouping (empty = global).
+   * Exact, not approximate-on-approximate: a hash in the coarse bottom-k
+   * is in its fine group's bottom-k too (it is among the smallest of a
+   * superset), so explode → dedup → re-take bottom-k reproduces exactly
+   * the sketch a direct pass over the coarse group would build — pinned
+   * by SketchesSpec. The dedup matters: the same value appearing in
+   * several fine groups carries the same hash, and bottom-k over a
+   * MULTISET would double-count it.
+   *
+   * Exactness needs every fine sketch's k to be >= the coarse `k`
+   * (bottom-k of bottom-k' is bottom-k only when k' >= k).
+   */
+  def kmvMerge(sketches: DataFrame, coarseGroupCols: Seq[String], k: Int): DataFrame = {
+    val hashes = sketches
+      .select(coarseGroupCols.map(col) :+
+        explode(col("__kmv").getField("keys")).as("__kmv_h"): _*)
+      .where(col("__kmv_h") < TopKSlots.SentinelKey)
+      .distinct()
+    estimate(aggSlots(hashes, coarseGroupCols, k), k)
+  }
+
+  /** Bottom-k of `__kmv_h` per group. k <= MaxK rides the declarative
+   * TopKSlots (codegen-fused partials); larger sketches fall back to the
+   * imperative TopKAggExpr — both emit `keys` sorted hash-ascending
+   * (score = -hash descending; 52-bit magnitudes round-trip a double
+   * exactly, so the negated score loses nothing). */
+  private def aggSlots(hashes: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val slots =
       if (k <= TopKSlots.MaxK)
         TopKByScore.topKSlots(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
       else
         TopKByScore.topK(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
-    val agg = hashes.groupBy(groupCols.map(col): _*)
-      .agg(slots.as("__kmv"))
+    hashes.groupBy(groupCols.map(col): _*).agg(slots.as("__kmv"))
+  }
+
+  /** Estimator columns from a sketch frame: group cols + distinct_hashes
+   * + est_distinct (exact below k — the sketch IS the set then). */
+  private def estimate(sketch: DataFrame, k: Int): DataFrame = {
     // live slots carry keys < SentinelKey (hashes are 52-bit; TopKSlots
     // pads to k with the sentinel, TopKAggExpr trims — the filter counts
     // both shapes). element_at(.., k) = h_k stays inside the otherwise
@@ -85,7 +128,8 @@ object Sketches {
     // ANSI, and it is only defined when the sketch is full anyway.
     val keysArr = col("__kmv").getField("keys")
     val live = size(filter(keysArr, x => x < lit(TopKSlots.SentinelKey))).cast("long")
-    agg.select(groupCols.map(col) :+ live.as("distinct_hashes") :+ col("__kmv"): _*)
+    val groupCols = sketch.columns.filterNot(_ == "__kmv").toSeq
+    sketch.select(groupCols.map(col) :+ live.as("distinct_hashes") :+ col("__kmv"): _*)
       .withColumn("est_distinct",
         when(col("distinct_hashes") < k, col("distinct_hashes"))
           .otherwise(expr(s"${(k - 1).toLong * Scale}L div element_at(__kmv.keys, $k)")))

@@ -72,6 +72,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kmvMerge of per-group sketches equals the direct coarse sketch exactly") {
+    val fine = Sketches.kmvSketch(df, Seq("g"), "v", 16)
+    // global rollup == direct global estimate, bit for bit
+    val merged = Sketches.kmvMerge(fine, Seq.empty, 16)
+      .select("distinct_hashes", "est_distinct").as[(Long, Long)].head()
+    val direct = Sketches.kmvDistinct(df, Seq.empty, "v", 16)
+      .select("distinct_hashes", "est_distinct").as[(Long, Long)].head()
+    assert(merged == direct)
+    // identity rollup (same grouping) reproduces the per-group estimates
+    val ident = Sketches.kmvMerge(fine, Seq("g"), 16)
+      .select("g", "distinct_hashes", "est_distinct")
+      .as[(String, Long, Long)].collect().toSet
+    val orig = Sketches.kmvDistinct(df, Seq("g"), "v", 16)
+      .select("g", "distinct_hashes", "est_distinct")
+      .as[(String, Long, Long)].collect().toSet
+    assert(ident == orig)
+  }
+
+  test("kmvMerge is exact when fine sketches are LARGER than the coarse k") {
+    val fine = Sketches.kmvSketch(df, Seq("g"), "v", 40) // imperative path
+    val merged = Sketches.kmvMerge(fine, Seq.empty, 16)
+      .select("distinct_hashes", "est_distinct").as[(Long, Long)].head()
+    val direct = Sketches.kmvDistinct(df, Seq.empty, "v", 16)
+      .select("distinct_hashes", "est_distinct").as[(Long, Long)].head()
+    assert(merged == direct)
+  }
+
   test("portableHash52 column form equals the independent reference hash") {
     val vals = Seq("", "a", "hello world", "Doc 42", "ünïcode ✓")
     val got = vals.toDF("v").select(Sketches.portableHash52(col("v")))

@@ -35,6 +35,33 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     if (!got.isNullAt(0)) assert(got.getLong(0) <= total)
   }
 
+  test("curation mixing is a stateless streaming filter: stream == batch subset") {
+    // deterministic hash sampling has no state, no watermark, no window —
+    // it composes with readStream as a plain filter, and the streamed
+    // subset is EXACTLY the batch subset (the decision is a pure function
+    // of (key, salt), so micro-batch boundaries cannot change it)
+    val dir = Files.createTempDirectory("graft_mix_stream").toString
+    spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(4)).cast("string")).as("source"))
+      .write.mode("overwrite").parquet(dir)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.25)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING").parquet(dir)
+    val q = graft.operators.Curation
+      .mixCorpus(stream, "source", "doc_id", rates, 0.5, "s1")
+      .writeStream.outputMode("append").format("memory").queryName("mix_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id FROM mix_stream").as[Long].collect().toSet
+    val want = graft.operators.Curation
+      .mixCorpus(spark.read.parquet(dir), "source", "doc_id", rates, 0.5, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < 2000)
+  }
+
   test("snapshotSink commits micro-batches as snapshot waves, exactly once") {
     val dir = Files.createTempDirectory("graft_sink_in").toString
     val root = Files.createTempDirectory("graft_sink_tbl").toString
