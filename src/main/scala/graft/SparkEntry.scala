@@ -103,6 +103,12 @@ object SparkEntry {
   private val MixSalt = "mix-v1"
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.0)
 
+  /** q86 fixture queries: (query_id, term) pairs over the corpus vocabulary. */
+  private val RetrievalQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "data", 0L -> "query",
+    1L -> "merge", 1L -> "slow",
+    2L -> "window", 2L -> "scan", 2L -> "sort", 2L -> "hash")
+
   /** DuckDB mirror of the PagesFromDocs url derivation. */
   private val UrlSql =
     "('https://' || source || '.example/' || doc_id::VARCHAR || '.html')"
@@ -127,10 +133,20 @@ object SparkEntry {
   }
 
   /** DuckDB mirror of TextAnalysis.shingles. */
-  private def shinglesSql(text: String): String =
+  private def shinglesSql(text: String): String = ngramsSql(text, 3)
+
+  /** DuckDB mirror of TextAnalysis.ngramsOf: sorted distinct word n-grams
+   * (generate_series(1, 0) is EMPTY in DuckDB, so greatest() alone guards
+   * short docs — no when-branch needed as on the Spark side). */
+  private def ngramsSql(text: String, n: Int): String = {
+    val sp = s"string_split($text,' ')"
+    val gram = (0 until n)
+      .map(j => if (j == 0) s"$sp[i]" else s"$sp[i+$j]")
+      .mkString(" || ' ' || ")
     s"list_sort(list_distinct(list_transform(" +
-      s"generate_series(1, greatest(len(string_split($text,' '))-2, 0)), " +
-      s"i -> string_split($text,' ')[i] || ' ' || string_split($text,' ')[i+1] || ' ' || string_split($text,' ')[i+2])))"
+      s"generate_series(1, greatest(len($sp)-${n - 1}, 0)), " +
+      s"i -> $gram)))"
+  }
 
   /** Flagship: full spatial pipeline over the synthesized pages fixture
    * (extract → cell-encode → spatial join → PIP). Driver smoke-checks
@@ -528,6 +544,27 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       Curation.quantileThreshold(pts, Seq("event_type"), "cents", 0.75)
         .select("event_id", "event_type", "cents")
+    }),
+
+    // benchmark decontamination: exact word-4-gram overlap against a
+    // deterministic "benchmark" slice (doc_id % 97 == 0) — the pre-ship
+    // leakage screen; grams are distinct per doc on BOTH sides, so
+    // n_hits is exactly the count of distinct shared grams
+    "q85_decontaminate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.decontaminate(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // inverted-index keyword retrieval: integer tf·(N div df) scoring
+    // (bit-portable, no float log), three term-set queries, declarative
+    // partial top-k ranking (score desc, doc_id asc)
+    "q86_keyword_topk" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.searchTopK(tbl(s, d, "documents"), "doc_id", "text",
+        RetrievalQueries.toDF("query_id", "term"), k = 10)
     }),
 
     "q24_knn" -> ((s, d) =>
@@ -1083,6 +1120,37 @@ object SparkEntry {
          |       FROM pts GROUP BY event_type)
          |SELECT p.event_id, p.event_type, p.cents
          |FROM pts p JOIN th USING (event_type) WHERE cents >= thr""".stripMargin),
+
+    // q85: same gram derivation, same distinct-per-doc contract; count(*)
+    // after the gram join therefore counts distinct shared grams
+    "q85_decontaminate" ->
+      (s"""WITH bg AS (SELECT DISTINCT unnest(${ngramsSql("text", 4)}) AS g
+         |            FROM documents WHERE doc_id % 97 = 0),
+         |dg AS (SELECT doc_id, unnest(${ngramsSql("text", 4)}) AS g
+         |       FROM documents WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM dg JOIN bg USING (g) GROUP BY doc_id""".stripMargin),
+
+    // q86: identical integer scoring (// is DuckDB integer division,
+    // mirroring Spark's div); row_number tie-break (score desc, doc_id)
+    // is the declarative top-k's exact ordering contract
+    "q86_keyword_topk" -> {
+      val vals = RetrievalQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $vals),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(tf * (n_docs // df)) AS BIGINT) AS score
+         |       FROM tf JOIN q USING (term) JOIN dfq USING (term) CROSS JOIN n
+         |       GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+         |       CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

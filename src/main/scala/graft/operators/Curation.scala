@@ -104,4 +104,45 @@ object Curation {
       .where(col(valueCol) >= col("__cur_thr"))
       .drop("__cur_thr")
   }
+
+  /**
+   * Benchmark decontamination: count, per corpus document, the distinct
+   * word n-grams it shares with a benchmark/eval set — the standard
+   * leakage screen a training pipeline runs before a corpus ships
+   * (exact n-gram overlap, the decontamination unit used by public LLM
+   * data reports; n = 8..13 word grams in practice, parameterized here).
+   * Returns `(keyCol, n_hits)` with one row per CONTAMINATED document;
+   * clean documents drop out (inner join), so `n_hits >= 1`.
+   *
+   * Scale shape: the benchmark side is eval sets — thousands of
+   * documents, ~10^6 distinct grams — so it is exploded, deduplicated
+   * and BROADCAST; the corpus side streams through explode → broadcast
+   * hash probe → partial-aggregated count, one corpus scan and one
+   * narrow `(key, count)` shuffle, no corpus-side gram shuffle. The
+   * broadcast hash set plays the role a Bloom filter would at this
+   * size (exact, and the probe side is already a hash lookup). For a
+   * benchmark too large to broadcast set `broadcastBenchmark = false`:
+   * both sides shuffle on the gram (plain hash join) — same rows.
+   *
+   * Grams are distinct per document on BOTH sides ([[TextAnalysis.ngramsOf]]),
+   * so `count(*)` after the join is exactly "distinct shared grams", and a
+   * gram repeated across many benchmark docs counts once.
+   */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      keyCol: String,
+      textCol: String,
+      n: Int,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.withColumn("__ts", TextAnalysis.tokens(col(textCol)))
+        .select(cols :+ explode(TextAnalysis.ngramsOf(col("__ts"), n)).as("__gram"): _*)
+    val bench = grams(benchmark).distinct()
+    val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
+    grams(corpus, col(keyCol))
+      .join(benchSide, "__gram")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

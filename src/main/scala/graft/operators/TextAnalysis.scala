@@ -30,12 +30,20 @@ object TextAnalysis {
    * A column reference makes it O(1) per element. */
   def shingles(text: Column): Column = shinglesOf(tokens(text))
 
-  def shinglesOf(ts: Column): Column =
+  def shinglesOf(ts: Column): Column = ngramsOf(ts, 3)
+
+  /** Sorted distinct word n-grams over a MATERIALIZED token column (see
+   * the perf note on [[shingles]] — never pass `tokens(text)` inline).
+   * Same guards as the 3-gram form: `sequence(1, 0)` DESCENDS in Spark,
+   * so rows shorter than n tokens take the explicit empty branch. */
+  def ngramsOf(ts: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram width must be >= 1 (got $n)")
     array_sort(array_distinct(
-      when(size(ts) >= 3,
-        transform(sequence(lit(1), size(ts) - 2), i =>
-          concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
         .otherwise(array().cast("array<string>"))))
+  }
 
   /** Per-line search hits: (key, line, line_text) for lines containing
    * `term`. Modes mirror the reference: plain contains / case-insensitive /

@@ -98,4 +98,44 @@ class CurationSpec extends AnyFunSuite {
       Curation.quantileThreshold(vals, Seq("g"), "v", 0.9)
     }
   }
+
+  // ---- decontamination -------------------------------------------------
+
+  private def bruteHits(corpus: Seq[(Long, String)], bench: Seq[String], n: Int): Map[Long, Long] = {
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val bg = bench.flatMap(grams).toSet
+    corpus.map { case (id, t) => id -> grams(t).count(bg.contains).toLong }
+      .filter(_._2 > 0).toMap
+  }
+
+  test("decontaminate counts distinct shared n-grams, matching brute force") {
+    val corpus = Seq(
+      1L -> "a b c d e f g",       // contains bench gram "c d e"
+      2L -> "c d e c d e c d e",   // repeated gram counts ONCE
+      3L -> "x y z w v u",         // clean
+      4L -> "b c d e f",           // two overlapping bench grams
+      5L -> "a b")                 // shorter than n
+    val bench = Seq("q c d e f r", "zz c d e yy")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val benchDf = bench.toDF("text")
+    val want = bruteHits(corpus, bench, 3)
+    for (bcast <- Seq(true, false)) {
+      val got = Curation.decontaminate(corpusDf, benchDf, "doc_id", "text", 3,
+          broadcastBenchmark = bcast)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"broadcastBenchmark=$bcast")
+    }
+    assert(!want.contains(3L) && !want.contains(5L))
+    assert(want(2L) == 1L) // distinct, not occurrences
+  }
+
+  test("decontaminate: a gram shared by many benchmark docs counts once per doc") {
+    val corpusDf = Seq(1L -> "p q r s").toDF("doc_id", "text")
+    val benchDf = Seq("p q r", "x p q r y", "z p q r").toDF("text")
+    val got = Curation.decontaminate(corpusDf, benchDf, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // the only shared gram is "p q r" — present in all 3 bench docs, counted once
+    assert(got == Map(1L -> 1L))
+  }
 }
