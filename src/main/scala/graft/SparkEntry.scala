@@ -567,6 +567,17 @@ object SparkEntry {
         RetrievalQueries.toDF("query_id", "term"), k = 10)
     }),
 
+    // Gopher-family repetition signals: exact integer counts + basis-point
+    // ratios by integer division (Spark div == DuckDB // on non-negatives)
+    "q87_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // domain balancing: ≤ 8 docs per source, deterministic md5-hash order;
+    // cap 8 ≤ TopKSlots.MaxK → exercises the declarative partial-top-k path
+    "q88_domain_cap" -> ((s, d) =>
+      Curation.capPerGroup(tbl(s, d, "documents"), "source", "doc_id", 8, "cap-v1")
+        .select("doc_id", "source")),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1151,6 +1162,41 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
          |WHERE rank <= 10""".stripMargin
     },
+
+    // q87: same token/gram derivations; multiplicities via unnest+group
+    // (the Spark side folds a sorted array instead — same numbers); //
+    // is DuckDB floor division == Spark div on these non-negatives
+    "q87_repetition" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, ts,
+         |  list_transform(generate_series(1, greatest(len(ts)-1, 0)), i -> ts[i] || ' ' || ts[i+1]) AS g2,
+         |  list_transform(generate_series(1, greatest(len(ts)-2, 0)), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g3,
+         |  list_transform(generate_series(1, greatest(len(ts)-3, 0)), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS g4
+         |  FROM t),
+         |tc AS (SELECT doc_id, max(c) AS m FROM (
+         |  SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2) GROUP BY 1),
+         |g2c AS (SELECT doc_id, max(c) AS m FROM (
+         |  SELECT doc_id, gg, count(*) AS c FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY 1, 2) GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(tc.m, 0) AS BIGINT) AS top_token_count,
+         |  CAST((len(ts) - len(list_distinct(ts))) * 10000 // len(ts) AS BIGINT) AS dup_token_bp,
+         |  CAST(CASE WHEN len(g2) = 0 THEN 0 ELSE (len(g2) - len(list_distinct(g2))) * 10000 // len(g2) END AS BIGINT) AS dup2_bp,
+         |  CAST(CASE WHEN len(g3) = 0 THEN 0 ELSE (len(g3) - len(list_distinct(g3))) * 10000 // len(g3) END AS BIGINT) AS dup3_bp,
+         |  CAST(CASE WHEN len(g4) = 0 THEN 0 ELSE (len(g4) - len(list_distinct(g4))) * 10000 // len(g4) END AS BIGINT) AS dup4_bp,
+         |  CAST(coalesce(g2c.m, 0) AS BIGINT) AS top2_count
+         |FROM g LEFT JOIN tc USING (doc_id) LEFT JOIN g2c USING (doc_id)""".stripMargin),
+
+    // q88: identical md5-prefix hash and (hash, key) order as the operator;
+    // the slots path's kept set equals this row_number form by construction
+    "q88_domain_cap" ->
+      ("""WITH h AS (SELECT doc_id, source,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR || ':cap-v1'), 1, 13)) AS BIGINT) AS hh
+         |  FROM documents)
+         |SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+         |WHERE rn <= 8""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

@@ -45,6 +45,89 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))))
   }
 
+  /** ALL word n-grams, in document order, repeats kept (the repetition-
+   * signal unit — contrast [[ngramsOf]], which sorts and dedups for set
+   * semantics). Same materialized-token and empty-range guards. */
+  def gramsAllOf(ts: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram width must be >= 1 (got $n)")
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Longest run of equal values in a SORTED string array = the maximum
+   * multiplicity of any value — one interpreted fold, no explode, no
+   * shuffle. The initial `prev` needs no reserved sentinel: with run = 0
+   * even a colliding first element computes 0 + 1 = 1. Empty array → 0. */
+  private def maxRun(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /**
+   * Repetition signals (the Gopher/RefinedWeb quality-filter family,
+   * token-adapted): how much of a document is the same content repeated.
+   * High values mark boilerplate, spam and generation loops — the first
+   * thing a webtext pipeline filters after language ID.
+   *
+   * Output per key, ALL exact integers (bit-portable to any engine —
+   * ratios are BASIS POINTS by integer division, no float in sight):
+   *  - n_tokens, n_distinct     token count / distinct token count
+   *  - top_token_count          max multiplicity of any one token
+   *  - dup_token_bp             (n_tokens − n_distinct)·10⁴ div n_tokens
+   *  - dup2_bp, dup3_bp, dup4_bp duplicate n-gram fraction in bp for
+   *                             n = 2,3,4 (0 when the doc has no n-grams)
+   *  - top2_count               max multiplicity of any 2-gram
+   *
+   * Scale shape: pure per-row scalar work — one scan, no explode, no
+   * shuffle, nothing to skew. Multiplicities come from a sort + max-run
+   * fold per row (O(L log L) on the row's own tokens), not from an
+   * unnest + groupBy that would shuffle every token of every document.
+   */
+  def repetition(df: DataFrame, key: String, text: String): DataFrame = {
+    val base = df.select(col(key), tokens(col(text)).as("__ts"))
+      .withColumn("__g2", gramsAllOf(col("__ts"), 2))
+      .withColumn("__g3", gramsAllOf(col("__ts"), 3))
+      .withColumn("__g4", gramsAllOf(col("__ts"), 4))
+    // basis points via integer division: non-negative operands, so Spark
+    // `div` (truncate) and DuckDB `//` (floor) agree exactly
+    val counted = base.select(col(key),
+      size(col("__ts")).cast("long").as("n_tokens"),
+      size(array_distinct(col("__ts"))).cast("long").as("n_distinct"),
+      maxRun(array_sort(col("__ts"))).as("top_token_count"),
+      size(col("__g2")).cast("long").as("__t2"),
+      size(array_distinct(col("__g2"))).cast("long").as("__d2"),
+      size(col("__g3")).cast("long").as("__t3"),
+      size(array_distinct(col("__g3"))).cast("long").as("__d3"),
+      size(col("__g4")).cast("long").as("__t4"),
+      size(array_distinct(col("__g4"))).cast("long").as("__d4"),
+      maxRun(array_sort(col("__g2"))).as("top2_count"))
+    counted.select(col(key), col("n_tokens"), col("n_distinct"), col("top_token_count"),
+      expr("((n_tokens - n_distinct) * 10000) div n_tokens").as("dup_token_bp"),
+      expr("CASE WHEN __t2 = 0 THEN 0 ELSE ((__t2 - __d2) * 10000) div __t2 END").as("dup2_bp"),
+      expr("CASE WHEN __t3 = 0 THEN 0 ELSE ((__t3 - __d3) * 10000) div __t3 END").as("dup3_bp"),
+      expr("CASE WHEN __t4 = 0 THEN 0 ELSE ((__t4 - __d4) * 10000) div __t4 END").as("dup4_bp"),
+      col("top2_count"))
+  }
+
+  /** Keep documents whose duplicate-3-gram fraction is at most `maxDupBp`
+   * basis points — the filter form of [[repetition]] (scan-side, no
+   * shuffle; the signal is recomputed inline rather than joined back). */
+  def repetitionFilter(df: DataFrame, text: String, maxDupBp: Long): DataFrame = {
+    require(maxDupBp >= 0 && maxDupBp <= 10000, s"maxDupBp must be in [0,10000] (got $maxDupBp)")
+    val ts = tokens(col(text))
+    val g3 = gramsAllOf(ts, 3)
+    val t3 = size(g3).cast("long")
+    val d3 = size(array_distinct(g3)).cast("long")
+    df.where(t3 === 0 || (t3 - d3) * 10000 <= lit(maxDupBp) * t3)
+  }
+
   /** Per-line search hits: (key, line, line_text) for lines containing
    * `term`. Modes mirror the reference: plain contains / case-insensitive /
    * whole-word / raw regex (reference: search.py:19,43-84 — find_text's

@@ -130,6 +130,48 @@ class CurationSpec extends AnyFunSuite {
     assert(want(2L) == 1L) // distinct, not occurrences
   }
 
+  // ---- per-group caps ----------------------------------------------------
+
+  private def bruteCap(rows: Seq[(Long, String)], cap: Int, salt: String): Set[Long] = {
+    def h(k: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:$salt".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13), 16)
+    rows.groupBy(_._2).values.flatMap(
+      _.sortBy { case (k, _) => (h(k), k) }.take(cap).map(_._1)).toSet
+  }
+
+  test("capPerGroup: slots path matches brute force and the window path") {
+    val rows = (0L until 200L).map(k => k -> s"dom${k % 5}")
+    val df = rows.toDF("doc_id", "source")
+    val want = bruteCap(rows, cap = 8, salt = "s1")
+    val slots = Curation.capPerGroup(df, "source", "doc_id", 8, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(slots == want)
+    // force the window path with a cap above the slot limit, then compare
+    // restricted caps by re-running brute force
+    val windowed = Curation.capPerGroup(df, "source", "doc_id", TopKSlots.MaxK + 3, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(windowed == bruteCap(rows, TopKSlots.MaxK + 3, "s1"))
+    // groups smaller than the cap survive whole
+    val tiny = Seq(1L -> "a", 2L -> "a", 3L -> "b").toDF("doc_id", "source")
+    assert(Curation.capPerGroup(tiny, "source", "doc_id", 8, "s1").count() == 3)
+  }
+
+  test("capPerGroup: different salts draw different subsets; same salt is stable") {
+    val rows = (0L until 300L).map(k => k -> s"dom${k % 3}")
+    val df = rows.toDF("doc_id", "source")
+    def run(salt: String): Set[Long] =
+      Curation.capPerGroup(df, "source", "doc_id", 10, salt)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run("a") == run("a"))
+    assert(run("a") != run("b"))
+    // non-integral key falls back to the window path, same contract
+    val strKeys = rows.map { case (k, s) => s"k$k" -> s }.toDF("doc_id", "source")
+    assert(Curation.capPerGroup(strKeys, "source", "doc_id", 4, "a").count() == 12)
+  }
+
   test("decontaminate: a gram shared by many benchmark docs counts once per doc") {
     val corpusDf = Seq(1L -> "p q r s").toDF("doc_id", "text")
     val benchDf = Seq("p q r", "x p q r y", "z p q r").toDF("text")

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    0L -> "a b a b a b a b",          // heavy 2-gram repetition
+    1L -> "x y z w v u t s",          // all distinct
+    2L -> "dup dup dup dup",          // one token repeated
+    3L -> "only",                     // shorter than every gram width
+    4L -> "p q p q r p q p q r",      // mixed
+    5L -> "")                         // split("") == [""] in both engines
+
+  /** Brute-force mirror of the repetition contract. */
+  private def brute(text: String): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val ts = text.split(" ", -1).toSeq
+    def grams(n: Int): Seq[String] =
+      if (ts.length < n) Seq.empty else ts.sliding(n).map(_.mkString(" ")).toSeq
+    def bp(total: Long, dist: Long): Long = if (total == 0) 0L else (total - dist) * 10000 / total
+    val g2 = grams(2); val g3 = grams(3); val g4 = grams(4)
+    def topCount(xs: Seq[String]): Long =
+      if (xs.isEmpty) 0L else xs.groupBy(identity).values.map(_.size).max.toLong
+    (ts.size.toLong, ts.distinct.size.toLong, topCount(ts),
+      bp(ts.size, ts.distinct.size),
+      bp(g2.size, g2.distinct.size), bp(g3.size, g3.distinct.size),
+      bp(g4.size, g4.distinct.size), topCount(g2))
+  }
+
+  test("repetition signals match brute force on all shapes") {
+    val got = TextAnalysis.repetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)).toMap
+    for ((id, text) <- docs) assert(got(id) == brute(text), s"doc $id: '$text'")
+  }
+
+  test("known values: alternating pair is 75% duplicate 2-grams") {
+    // "a b a b a b a b": 7 2-grams, 2 distinct → (7-2)*10000 div 7 = 7142
+    val r = TextAnalysis.repetition(Seq(0L -> "a b a b a b a b").toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("dup2_bp", "top_token_count", "top2_count")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((7142L, 4L, 4L))) // "a b" occurs 4 times, "a" occurs 4 times
+  }
+
+  test("repetitionFilter keeps exactly the docs at or under the cutoff") {
+    val df = docs.toDF("doc_id", "text")
+    val kept = TextAnalysis.repetitionFilter(df, "text", maxDupBp = 5000)
+      .select("doc_id").as[Long].collect().toSet
+    val want = docs.filter { case (_, t) =>
+      val b = brute(t); b._6 <= 5000 // dup3_bp
+    }.map(_._1).toSet
+    assert(kept == want)
+    assert(TextAnalysis.repetitionFilter(df, "text", 10000).count() == docs.size)
+  }
+
+  test("repetitionFilter rejects out-of-range cutoffs") {
+    val df = docs.toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { TextAnalysis.repetitionFilter(df, "text", -1) }
+    intercept[IllegalArgumentException] { TextAnalysis.repetitionFilter(df, "text", 10001) }
+  }
+}
