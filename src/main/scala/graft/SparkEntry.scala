@@ -578,6 +578,17 @@ object SparkEntry {
       Curation.capPerGroup(tbl(s, d, "documents"), "source", "doc_id", 8, "cap-v1")
         .select("doc_id", "source")),
 
+    // int8-quantized ANN: per-vector symmetric codes (floor(x·127/m + .5)
+    // — floor avoids the round()-at-.5 dialect divergence), integer-exact
+    // dots/norms, cosine from exact integers (correctly-rounded sqrt and
+    // division → bit-portable with NO rounding step)
+    "q89_ann_quantized" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 20).select(col("vec_id").as("q_vec"), col("embedding"))
+      Similarity.quantizedTopK(q, "q_vec", "embedding", e, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1197,6 +1208,26 @@ object SparkEntry {
          |SELECT doc_id, source FROM (
          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
          |WHERE rn <= 8""".stripMargin),
+
+    // q89: identical quantization (same float max, same double ·/÷ order,
+    // same floor(+0.5)) and identical cosine expression — exact integer
+    // inputs make every double op correctly-rounded-identical, no round()
+    "q89_ann_quantized" ->
+      ("""WITH codes AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |         ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / CAST(mx AS DOUBLE) + 0.5)) END AS qd
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(x))) AS mx FROM embeddings)),
+         |n AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS qn FROM codes),
+         |q AS (SELECT vec_id AS q_vec, qd AS qv, qn AS qnq FROM n WHERE vec_id < 20),
+         |scored AS (SELECT q.q_vec, c.vec_id,
+         |  list_dot_product(qv, c.qd) / (sqrt(qnq) * sqrt(c.qn)) AS cos
+         |  FROM q, n c WHERE q.q_vec <> c.vec_id)
+         |SELECT q_vec, vec_id, cos, rank FROM (
+         |  SELECT q_vec, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

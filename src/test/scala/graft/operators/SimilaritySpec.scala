@@ -185,4 +185,63 @@ class SimilaritySpec extends AnyFunSuite {
       threshold = tau, k = 8, bits = 8)
       .select("drop_key", "keep_key").as[(Long, Long)].collect().toSet
     assert(again == got.toSet)
+  }
+
+  // ---- int8 quantization ---------------------------------------------------
+
+  /** Brute mirror of quantizeInt8's contract. */
+  private def bruteQuantize(v: Array[Float]): (Array[Int], Long) = {
+    val m = v.map(math.abs).max.toDouble
+    val q = if (m == 0.0) v.map(_ => 0)
+      else v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toInt)
+    (q, q.map(x => x.toLong * x).sum)
+  }
+
+  test("quantizeInt8 matches brute force; codes bounded by 127; zero vector is zero") {
+    val rows = emb.limit(50).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val got = Similarity.quantizeInt8(emb.limit(50), "vec_id", "embedding")
+      .as[(Long, Array[Int], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, v) <- rows) {
+      val (q, n) = bruteQuantize(v)
+      assert(got(id)._1.sameElements(q), s"vec $id codes")
+      assert(got(id)._2 == n, s"vec $id norm")
+      assert(q.forall(x => x >= -127 && x <= 127))
+      assert(q.map(math.abs).max == 127) // the argmax element saturates
+    }
+    val zero = Seq((9L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.quantizeInt8(zero, "vec_id", "embedding")
+      .as[(Long, Array[Int], Long)].head()
+    assert(z._2.forall(_ == 0) && z._3 == 0L)
+  }
+
+  test("quantizedTopK matches the brute-force quantized ranking exactly") {
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val codes = all.map { case (id, v) => id -> bruteQuantize(v) }
+    val qs = codes.filter(_._1 < 30)
+    val want = qs.flatMap { case (qid, (qv, qn)) =>
+      codes.filter(_._1 != qid).map { case (cid, (cv, cn)) =>
+        val dot = qv.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (qid, cid, dot / (math.sqrt(qn.toDouble) * math.sqrt(cn.toDouble)))
+      }.sortBy { case (_, cid, cos) => (-cos, cid) }.take(4)
+        .zipWithIndex.map { case ((q, c, cos), i) => (q, c, cos, i + 1) }
+    }.toSet
+    val got = Similarity.quantizedTopK(
+        emb.where(col("vec_id") < 30).select(col("vec_id").as("q"), col("embedding")),
+        "q", "embedding", emb, "vec_id", "embedding", 4)
+      .select(col("q"), col("vec_id"), col("cos"), col("rank").cast("int"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("quantized top-k recall vs exact cosine is high on the fixture") {
+    val exact = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 5)
+      .select("q", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.quantizedTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 5)
+      .select("q", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q => (exact(q) & quant(q)).size.toDouble / 5).sum / exact.size
+    assert(recall >= 0.8, s"recall $recall")
   }}
