@@ -589,6 +589,25 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // PII audit + redaction: deterministic synthetic PII is appended to
+    // each doc (both engines derive the identical augmented text), counts
+    // come from the raw text, the md5 proves byte-identical redaction
+    "q90_pii_scrub" -> ((s, d) => {
+      val aug = tbl(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"), lit("@mail.example.org or 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"), lit(" id "),
+          lpad(col("doc_id").cast("string"), 9, "0")).as("text"))
+      val counted = aug.select(col("doc_id"), col("text"),
+        TextAnalysis.piiCount(col("text"), "email").as("n_email"),
+        TextAnalysis.piiCount(col("text"), "ipv4").as("n_ipv4"),
+        TextAnalysis.piiCount(col("text"), "number").as("n_number"))
+      TextAnalysis.scrubPii(counted, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_number"),
+          md5(col("text")).as("scrub_md5"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1228,6 +1247,24 @@ object SparkEntry {
          |  SELECT q_vec, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin),
+
+    // q90: identical augmented text, identical portable patterns (the
+    // subset behaves the same under Java regex and RE2), identical
+    // email → ipv4 → number replace cascade; 'g' = replace-all like Spark
+    "q90_pii_scrub" -> {
+      val Seq(email, ipv4, number) = TextAnalysis.PiiPatterns.map(_._2)
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' reach user' || doc_id::VARCHAR || '@mail.example.org or 10.' ||
+         |  (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR || ' id ' ||
+         |  lpad(doc_id::VARCHAR, 9, '0') AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$number')) AS BIGINT) AS n_number,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IPV4>', 'g'), '$number', '<NUMBER>', 'g')) AS scrub_md5
+         |FROM aug""".stripMargin
+    },
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

@@ -128,6 +128,47 @@ object TextAnalysis {
     df.where(t3 === 0 || (t3 - d3) * 10000 <= lit(maxDupBp) * t3)
   }
 
+  /**
+   * PII patterns in the PORTABLE regex subset (classes, quantifiers,
+   * alternation — no lookaround/backrefs/word-boundaries, see the
+   * [[textSearch]] dialect contract): the same pattern text compiles to
+   * the same matches under Java regex (Spark), RE2 (DuckDB/Go scanners)
+   * and Python `re`, so redaction is reproducible across every engine
+   * that touches the corpus. Order matters and is part of the contract:
+   * emails first (their digits must not later count as numbers), then
+   * IPv4 (octets are ≤ 3 digits so they can't feed the long-number
+   * rule), then 7+-digit runs (phone/account-shaped).
+   */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IPV4>"),
+    ("number", "[0-9]{7,}", "<NUMBER>"))
+
+  /** Non-overlapping match count of one PII category in `text`. */
+  def piiCount(text: Column, category: String): Column = {
+    val pat = PiiPatterns.collectFirst { case (c, p, _) if c == category => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown PII category '$category' (have ${PiiPatterns.map(_._1).mkString(", ")})"))
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+  }
+
+  /** Per-document PII counts: (key, n_email, n_ipv4, n_number). A pure
+   * scan-side projection — the audit pass a pipeline runs to size the
+   * problem before committing to redaction. */
+  def piiStats(df: DataFrame, key: String, text: String): DataFrame =
+    df.select(col(key) +:
+      PiiPatterns.map { case (c, _, _) => piiCount(col(text), c).as(s"n_$c") }: _*)
+
+  /** Redact all PII categories in `textCol` in the contract order,
+   * preserving every other column. Scan-side regexp_replace cascade —
+   * no shuffle, safe to fuse with any downstream operator. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep)
+    }
+    df.withColumn(textCol, scrubbed)
+  }
+
   /** Per-line search hits: (key, line, line_text) for lines containing
    * `term`. Modes mirror the reference: plain contains / case-insensitive /
    * whole-word / raw regex (reference: search.py:19,43-84 — find_text's

@@ -63,4 +63,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextAnalysis.repetitionFilter(df, "text", -1) }
     intercept[IllegalArgumentException] { TextAnalysis.repetitionFilter(df, "text", 10001) }
   }
+
+  // ---- PII ----------------------------------------------------------------
+
+  test("piiStats counts and scrubPii redacts in the contract order") {
+    val rows = Seq(
+      1L -> "mail a@b.com then 12.34.56.78 and 12345678 again a@b.com",
+      2L -> "no pii here just words",
+      3L -> "octets 1.2.3.4 stay ipv4 not numbers; 123456 is too short",
+      4L -> "user.name+tag@sub.domain.org wrote 999888777666")
+    val stats = TextAnalysis.piiStats(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(stats(1L) == ((2L, 1L, 1L)))
+    assert(stats(2L) == ((0L, 0L, 0L)))
+    assert(stats(3L) == ((0L, 1L, 0L)))
+    assert(stats(4L) == ((1L, 0L, 1L)))
+    val scrubbed = TextAnalysis.scrubPii(rows.toDF("doc_id", "text"), "text")
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "mail <EMAIL> then <IPV4> and <NUMBER> again <EMAIL>")
+    assert(scrubbed(2L) == "no pii here just words")
+    assert(scrubbed(4L) == "<EMAIL> wrote <NUMBER>")
+    // email digits are gone before the number pass — no double redaction
+    assert(!scrubbed.values.exists(_.contains("<NUM<")))
+  }
+
+  test("piiCount rejects unknown categories") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.piiCount(org.apache.spark.sql.functions.lit("x"), "ssn")
+    }
+  }
 }
