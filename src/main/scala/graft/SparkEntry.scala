@@ -608,6 +608,17 @@ object SparkEntry {
           md5(col("text")).as("scrub_md5"))
     }),
 
+    // gap-based sessionization (10-min silence = new session): per-event
+    // labels via one keyed window, integer epoch-micros comparisons
+    "q91_sessionize" -> ((s, d) =>
+      Sessionize.label(tbl(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 600)
+        .select("event_id", "user_id", "session_seq")),
+
+    // per-session aggregates via the NATIVE session_window aggregate
+    // (mergeable partial state, streaming-ready); end = last event + gap
+    "q92_session_stats" -> ((s, d) =>
+      Sessionize.stats(tbl(s, d, "events"), "user_id", "ts", "value", gapSeconds = 600)),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1265,6 +1276,34 @@ object SparkEntry {
          |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IPV4>', 'g'), '$number', '<NUMBER>', 'g')) AS scrub_md5
          |FROM aug""".stripMargin
     },
+
+    // q91: same gap rule on integer epoch micros, same (ts, id) tie order,
+    // explicit ROWS frame (engine defaults differ on tied RANGE frames)
+    "q91_sessionize" ->
+      ("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |  CAST(sum(CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |FROM p""".stripMargin),
+
+    // q92: sessions reconstructed by the same gap rule, then aggregated;
+    // session_window's end contract is last-event + gap; integer cents
+    "q92_session_stats" ->
+      ("""WITH lab AS (
+         |  SELECT user_id, us, cents,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS seq
+         |  FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |          CAST(round(value * 100) AS BIGINT) AS cents,
+         |          CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+         |               THEN 1 ELSE 0 END AS is_new
+         |        FROM events))
+         |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+         |  CAST(max(us) + 600000000 AS BIGINT) AS session_end_us,
+         |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM lab GROUP BY user_id, seq""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
