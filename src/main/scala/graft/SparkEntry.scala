@@ -619,6 +619,13 @@ object SparkEntry {
     "q92_session_stats" -> ((s, d) =>
       Sessionize.stats(tbl(s, d, "events"), "user_id", "ts", "value", gapSeconds = 600)),
 
+    // exact phrase search via the positional index: term-filtered postings
+    // aligned on (doc, pos − offset); overlapping occurrences counted
+    // ("batch batch batch" contains "batch batch" twice)
+    "q93_phrase_search" -> ((s, d) =>
+      Retrieval.phraseCount(tbl(s, d, "documents"), "doc_id", "text",
+        Seq("batch", "batch"), positional = true)),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1304,6 +1311,17 @@ object SparkEntry {
          |  CAST(max(us) + 600000000 AS BIGINT) AS session_end_us,
          |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
          |FROM lab GROUP BY user_id, seq""".stripMargin),
+
+    // q93: occurrence = a 2-gram equal to the phrase (overlap-counting,
+    // exactly the positional join's start-position semantics)
+    "q93_phrase_search" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(len(ts)-1, 0)), i -> ts[i] || ' ' || ts[i+1]) AS g2
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(g2, x -> x = 'batch batch')) AS BIGINT) AS n_occur
+         |FROM g WHERE len(list_filter(g2, x -> x = 'batch batch')) > 0""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

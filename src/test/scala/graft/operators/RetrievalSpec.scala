@@ -83,6 +83,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("phraseCount: positional and scan paths match brute force, overlaps counted") {
+    val corpus = Seq(
+      0L -> "b b b b",             // "b b" occurs 3× (overlapping)
+      1L -> "a b c a b c",         // "a b c" twice, "b c" twice
+      2L -> "a c b",               // no phrase
+      3L -> "x a b",               // trailing "a b"
+      4L -> "b")                   // shorter than phrase
+    def bruteP(phrase: Seq[String]): Map[Long, Long] =
+      corpus.map { case (id, t) =>
+        id -> t.split(" ", -1).sliding(phrase.length)
+          .count(_.sameElements(phrase)).toLong
+      }.filter(_._2 > 0).toMap
+    for (phrase <- Seq(Seq("b", "b"), Seq("a", "b", "c"), Seq("a", "b"), Seq("zz"))) {
+      val want = bruteP(phrase)
+      for (positional <- Seq(true, false)) {
+        val got = Retrieval.phraseCount(corpus.toDF("doc_id", "text"), "doc_id", "text",
+            phrase, positional)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"phrase=$phrase positional=$positional")
+      }
+    }
+    assert(bruteP(Seq("b", "b"))(0L) == 3L) // the overlap contract itself
+  }
+
+  test("phraseCount rejects malformed phrases") {
+    val df = docs.toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Retrieval.phraseCount(df, "doc_id", "text", Seq.empty) }
+    intercept[IllegalArgumentException] { Retrieval.phraseCount(df, "doc_id", "text", Seq("two words")) }
+  }
+
   test("buildIndex postings and df agree with direct counts") {
     val (post, dfT) = Retrieval.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text")
     val tfGot = post.as[(String, Long, Long)].collect()
