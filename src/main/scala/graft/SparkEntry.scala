@@ -626,6 +626,16 @@ object SparkEntry {
       Retrieval.phraseCount(tbl(s, d, "documents"), "doc_id", "text",
         Seq("batch", "batch"), positional = true)),
 
+    // tokenizer-prep vocabulary: top-25 terms, deterministic under ties
+    // (freq desc, term asc is a total order ⇒ the cut is reproducible)
+    "q94_vocabulary" -> ((s, d) =>
+      Vocab.vocabulary(tbl(s, d, "documents"), "text", topV = 25)),
+
+    // word-vector prep: window-3 co-occurrence counts, canonical unordered
+    // pairs, per-row pair generation (no positional self-join)
+    "q95_cooccurrence" -> ((s, d) =>
+      Vocab.cooccurrence(tbl(s, d, "documents"), "text", window = 3, minCount = 2)),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1322,6 +1332,24 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(len(list_filter(g2, x -> x = 'batch batch')) AS BIGINT) AS n_occur
          |FROM g WHERE len(list_filter(g2, x -> x = 'batch batch')) > 0""".stripMargin),
+
+    // q94: same total order (freq desc, term asc) ⇒ identical top-25 set
+    "q94_vocabulary" ->
+      ("""SELECT term, CAST(count(*) AS BIGINT) AS freq
+         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |GROUP BY term ORDER BY freq DESC, term LIMIT 25""".stripMargin),
+
+    // q95: identical per-row pair generation (same index bounds, same
+    // least/greatest canonicalization), then a plain count
+    "q95_cooccurrence" ->
+      ("""WITH t AS (SELECT string_split(text, ' ') AS ts,
+         |             len(string_split(text, ' ')) AS n FROM documents),
+         |p AS (SELECT unnest(flatten(list_transform(generate_series(1, n-1), i ->
+         |        list_transform(generate_series(i+1, least(i+3, n)), j ->
+         |          least(ts[i], ts[j]) || ' ' || greatest(ts[i], ts[j]))))) AS pair
+         |      FROM t WHERE n >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY pair HAVING count(*) >= 2""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte
