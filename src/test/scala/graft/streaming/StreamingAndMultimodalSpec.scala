@@ -62,6 +62,38 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < 2000)
   }
 
+  test("PII scrub + repetition filter are stateless streaming transforms: stream == batch") {
+    // both ops are scan-side projections/filters (no state, no watermark),
+    // so they compose with readStream directly and micro-batch boundaries
+    // cannot change a single row
+    val dir = Files.createTempDirectory("graft_scrub_stream").toString
+    spark.range(0, 500).select(
+      col("id").as("doc_id"),
+      concat(
+        when(pmod(col("id"), lit(3)) === 0,
+          lit("dup dup dup dup dup dup dup dup dup dup mail "))
+          .otherwise(lit("clean words here mail ")),
+        lit("u"), col("id").cast("string"), lit("@ex.org done")).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.scrubPii(
+        graft.operators.TextAnalysis.repetitionFilter(df, "text", maxDupBp = 5000), "text")
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(dir)
+    val q = pipeline(stream)
+      .writeStream.outputMode("append").format("memory").queryName("scrub_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, text FROM scrub_stream")
+      .as[(Long, String)].collect().toSet
+    val want = pipeline(spark.read.parquet(dir))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(got == want)
+    // the filter dropped the repetitive third and the scrub hit every row
+    assert(want.nonEmpty && want.size < 500)
+    assert(want.forall(_._2.contains("<EMAIL>")))
+  }
+
   test("snapshotSink commits micro-batches as snapshot waves, exactly once") {
     val dir = Files.createTempDirectory("graft_sink_in").toString
     val root = Files.createTempDirectory("graft_sink_tbl").toString
