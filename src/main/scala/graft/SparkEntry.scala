@@ -636,6 +636,60 @@ object SparkEntry {
     "q95_cooccurrence" -> ((s, d) =>
       Vocab.cooccurrence(tbl(s, d, "documents"), "text", window = 3, minCount = 2)),
 
+    // C4/MassiveText line-level boilerplate dedup: documents re-lined as
+    // 3-token lines (deterministically in both engines), lines occurring
+    // in >= 2 distinct docs dropped, docs rebuilt in original line order;
+    // md5 proves byte-identical reconstruction
+    "q96_boilerplate_lines" -> ((s, d) => {
+      val lined = tbl(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+        .select(col("doc_id"), concat_ws("\n", transform(
+          sequence(lit(0L), expr("CAST((size(__ts) - 1) div 3 AS BIGINT)")),
+          i => concat_ws(" ", slice(col("__ts"), (i * 3 + 1).cast("int"), lit(3))))).as("text"))
+      TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text", minDocs = 2)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // bloom-filter runtime join pruning: the broadcast bloom prefilters
+    // the big side BEFORE its shuffle; the exact semi-join kills false
+    // positives, so the result is bit-identical to the plain semi-join
+    // (which IS the oracle)
+    "q97_bloom_join" -> ((s, d) => {
+      val sel = tbl(s, d, "orders").where(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      Bloom.prunedSemiJoin(tbl(s, d, "lineitem"), "l_orderkey",
+          sel, "o_orderkey", expectedKeys = 65536)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+    }),
+
+    // URL canonicalization census: messy variants (case-shuffled hosts,
+    // default ports, fragments, tracking params, permuted query strings)
+    // synthesized deterministically from doc_id in BOTH engines, then
+    // collapsed onto the RFC 3986 canonical form
+    "q98_url_canonical" -> ((s, d) => {
+      val id = col("doc_id")
+      val urls = tbl(s, d, "documents").select(id.as("doc_id"),
+        when(id % 4 === 0, concat(lit("HTTP://Site"), (id % 7).cast("string"),
+            lit(".COM:80/p/"), (id % 50).cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+          .when(id % 4 === 1, concat(lit("https://site"), (id % 7).cast("string"),
+            lit(".com:443/p/"), (id % 50).cast("string"), lit("?a=1&b=2")))
+          .when(id % 4 === 2, concat(lit("http://site"), (id % 7).cast("string"),
+            lit(".com/p/"), (id % 50).cast("string"), lit("?b=2&a=1&gclid=99")))
+          .otherwise(concat(lit("http://Other.ORG/q"), (id % 25).cast("string"))).as("url"))
+      Urls.canonicalDedup(urls, "url")
+    }),
+
+    // link-graph PageRank, EXACT 64-bit fixed-point (2^40 = 1.0): integer
+    // contributions and rational 85/100 damping make every iterate
+    // bit-identical under any partitioning — and in any engine (the
+    // oracle unrolls the same 4 iterations in SQL)
+    "q99_pagerank" -> ((s, d) =>
+      Graph.pageRank(tbl(s, d, "orders")
+          .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst")),
+        "src", "dst", iterations = 4)),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1350,6 +1404,91 @@ object SparkEntry {
          |      FROM t WHERE n >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY pair HAVING count(*) >= 2""".stripMargin),
+
+    // q96: identical 3-token re-lining (same index bounds, same slice
+    // clamping), frequent lines by DISTINCT-doc count, list_filter keeps
+    // document order exactly like the position-rebuild on the Spark side
+    "q96_boilerplate_lines" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |l AS (SELECT doc_id, list_transform(generate_series(0, (len(ts)-1)//3), i ->
+         |        array_to_string(list_slice(ts, i*3+1, i*3+3), ' ')) AS lines FROM t),
+         |fl AS (SELECT line FROM (SELECT DISTINCT doc_id, unnest(lines) AS line FROM l)
+         |       GROUP BY line HAVING count(*) >= 2),
+         |fr AS (SELECT coalesce(list(line), []) AS fls FROM fl),
+         |c AS (SELECT doc_id, lines,
+         |        list_filter(lines, x -> NOT list_contains(fls, x)) AS kept
+         |      FROM l, fr)
+         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+         |FROM c""".stripMargin),
+
+    // q97: the bloom prefilter provably changes NOTHING about the result
+    // set — the oracle is the plain semi-join aggregate
+    "q97_bloom_join" ->
+      ("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+         |GROUP BY l_returnflag""".stripMargin),
+
+    // q98: the same messy-url synthesis, then the same RFC 3986 pipeline
+    // step by step (fragment, lowercase scheme/host, default ports, empty
+    // path, tracking-param drop + byte-wise param sort)
+    "q98_url_canonical" ->
+      ("""WITH raw AS (SELECT CASE
+         |    WHEN doc_id % 4 = 0 THEN 'HTTP://Site' || (doc_id % 7)::VARCHAR ||
+         |      '.COM:80/p/' || (doc_id % 50)::VARCHAR || '?utm_source=x&b=2&a=1#frag'
+         |    WHEN doc_id % 4 = 1 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+         |      '.com:443/p/' || (doc_id % 50)::VARCHAR || '?a=1&b=2'
+         |    WHEN doc_id % 4 = 2 THEN 'http://site' || (doc_id % 7)::VARCHAR ||
+         |      '.com/p/' || (doc_id % 50)::VARCHAR || '?b=2&a=1&gclid=99'
+         |    ELSE 'http://Other.ORG/q' || (doc_id % 25)::VARCHAR END AS url FROM documents),
+         |s1 AS (SELECT url, split_part(url, '#', 1) AS nofrag FROM raw),
+         |s2 AS (SELECT url, lower(split_part(nofrag, '://', 1)) AS scheme,
+         |         substr(nofrag, length(split_part(nofrag, '://', 1)) + 4) AS rest FROM s1),
+         |s3 AS (SELECT *, lower(regexp_extract(rest, '^[^/?]*')) AS hostport FROM s2),
+         |s4 AS (SELECT *, CASE
+         |         WHEN scheme = 'http' AND hostport LIKE '%:80'
+         |           THEN substr(hostport, 1, length(hostport) - 3)
+         |         WHEN scheme = 'https' AND hostport LIKE '%:443'
+         |           THEN substr(hostport, 1, length(hostport) - 4)
+         |         ELSE hostport END AS host,
+         |         substr(rest, length(hostport) + 1) AS pathq FROM s3),
+         |s5 AS (SELECT *, split_part(pathq, '?', 1) AS path0 FROM s4),
+         |s6 AS (SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         |         CASE WHEN contains(pathq, '?') THEN substr(pathq, length(path0) + 2)
+         |              ELSE '' END AS query FROM s5),
+         |s7 AS (SELECT *, list_sort(list_filter(string_split(query, '&'), p ->
+         |         p <> '' AND NOT (starts_with(p, 'utm_')
+         |           OR split_part(p, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))) AS params FROM s6),
+         |s8 AS (SELECT url, scheme || '://' || host || path ||
+         |         CASE WHEN len(params) = 0 THEN ''
+         |              ELSE '?' || array_to_string(params, '&') END AS canonical_url FROM s7)
+         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+         |FROM s8 GROUP BY canonical_url""".stripMargin),
+
+    // q99: the same 4 iterations unrolled — 2^40 fixed point, integer
+    // division everywhere (operands non-negative, so DuckDB // == Spark
+    // div), long sums are order-free ⇒ bit-identical ranks
+    "q99_pagerank" -> {
+      val scale = 1L << 40
+      def iter(k: Int): String =
+        s"""i$k AS (SELECT e.dst, sum(r.rank // deg.outdeg) AS s
+           |  FROM e JOIN r${k - 1} r ON e.src = r.node
+           |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r$k AS (SELECT node, ($scale * 15 // 100) // (SELECT n FROM params)
+           |    + 85 * coalesce(i$k.s, 0) // 100 AS rank
+           |  FROM nodes LEFT JOIN i$k ON nodes.node = i$k.dst)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |params AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, $scale // (SELECT n FROM params) AS rank FROM nodes),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r4""".stripMargin
+    },
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

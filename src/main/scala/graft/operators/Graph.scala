@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph operators for web corpora. PageRank is THE host-quality
+ * signal of webtext curation (Common Crawl ranks its host lists with it;
+ * quality-filter stacks use it as a prior), so the engine carries it as
+ * a first-class batch operator.
+ *
+ * Arithmetic contract — EXACT 64-bit integers end to end: ranks are
+ * fixed-point (2^scaleBits = 1.0 mass), contributions divide by
+ * out-degree with integer division, the damping factor is the rational
+ * 85/100 applied as `(85 · sum) div 100`. Long addition is associative
+ * and commutative, so the per-node sums are bit-identical under ANY
+ * partitioning, task order or retry — the property float PageRank loses
+ * (float sums are shuffle-order-nondeterministic) and the reason any
+ * engine can replay the computation exactly (the DuckDB oracle unrolls
+ * the same iterations in SQL and matches to the last bit).
+ *
+ * Semantics: the standard simplified random surfer —
+ *   r₀(v)   = SCALE div n
+ *   rᵢ₊₁(v) = (SCALE·15 div 100) div n
+ *             + 85 · Σ_{(u,v)∈E} (rᵢ(u) div outdeg(u)) div 100
+ * Dangling nodes (no out-edges) absorb mass; integer division truncates
+ * sub-ulp mass. Both losses are deterministic and standard for the
+ * ranking use (ORDER is what curation consumes, not the exact measure).
+ *
+ * Scale shape per iteration: one equi-join rank⋈edges on src (both sides
+ * hash-partitioned on the same key — on a cluster, bucket the edge table
+ * by src once and every iteration's join is shuffle-free on the edge
+ * side), one groupBy(dst) with map-side partial sums (longs), one
+ * broadcast-sized nodes⋈sums join. Ranks localCheckpoint per round —
+ * iterative plans otherwise grow until the optimizer chokes (CLAUDE.md
+ * gotcha), and the previous round's blocks release deterministically.
+ *
+ * Overflow headroom: total mass ≤ 2^scaleBits, so any per-node sum is
+ * < 2^scaleBits and `85 · sum` needs scaleBits + 7 bits — scaleBits ≤ 40
+ * leaves 16 spare bits.
+ */
+object Graph {
+
+  /**
+   * @param edges distinct directed edges are derived from (src, dst) —
+   *              duplicates collapse (a page linking twice votes once,
+   *              the Brin–Page convention)
+   * @return (node, rank) for every node appearing as src or dst;
+   *         ranks in fixed-point 2^scaleBits units, BIGINT-exact
+   */
+  def pageRank(edges: DataFrame, src: String, dst: String, iterations: Int,
+      scaleBits: Int = 40): DataFrame = {
+    require(iterations >= 0 && iterations <= 64, s"iterations in [0,64] (got $iterations)")
+    require(scaleBits >= 10 && scaleBits <= 40, s"scaleBits in [10,40] (got $scaleBits)")
+    val scale = 1L << scaleBits
+
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // reused every iteration: cut lineage once
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // carry outdeg ON the edge rows so the per-iteration join count stays
+    // at one (rank ⋈ edges); outdeg is itself derived from e, same key
+    val eWithDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+
+    val n = nodes.count() // metadata-sized driver scalar (node count)
+    require(n > 0, "pageRank needs at least one edge")
+    val base = (scale * 15L / 100L) / n
+
+    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
+    var prevRound: DataFrame = null // only OUR per-round checkpoints release
+    for (_ <- 1 to iterations) {
+      val sums = eWithDeg
+        .join(rank, eWithDeg("src") === rank("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s")) // exact long sums, order-free
+      val next = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+        .localCheckpoint(true)
+      // release round i−1's blocks (NOT the initial rank — that one
+      // references the shared nodes checkpoint, which later rounds and
+      // the final join still read)
+      if (prevRound != null)
+        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(prevRound)
+      prevRound = next
+      rank = next
+    }
+    rank.select(col("node"), col("rank"))
+    // the last round's blocks (and e/eWithDeg/nodes) stay live — the
+    // caller owns the returned frame; release after the final action
+  }
+}

@@ -268,4 +268,53 @@ object TextAnalysis {
       aggregate(tokens(col(text)), lit(0L),
         (acc, t) => pmod(acc * 31 + length(t).cast("long") * 7 + ascii(substring(t, 1, 1)).cast("long"),
           lit(1000000007L))).as("fp"))
+
+  /**
+   * Line-level boilerplate removal (the C4 / MassiveText cleaning step):
+   * drop every line that occurs in at least `minDocs` DISTINCT documents
+   * — navigation bars, cookie banners, copyright footers — and rebuild
+   * each document from its surviving lines in original order.
+   *
+   * Scale shape — document TEXT never shuffles:
+   *  1. frequent-line census: per document, DISTINCT line digests
+   *     (md5, 16 bytes) → one groupBy(digest) count. The exchange
+   *     carries digests, not lines; a plain count equals the distinct-doc
+   *     count because each document contributes a digest at most once.
+   *  2. surviving positions: (key, pos, digest) anti-join the frequent
+   *     set — the frequent side is an aggregate output, so AQE broadcasts
+   *     it when small (the common case: lines repeated across ≥ minDocs
+   *     documents are a tiny fraction of distinct lines).
+   *  3. rebuild: positions collect per key (ints, sorted inside the
+   *     aggregate — collect_list order is shuffle-nondeterministic),
+   *     join back to the ORIGINAL row, and a per-row projection picks
+   *     `element_at(lines, pos + 1)` — so the only shuffles carrying
+   *     anything document-sized are the digest census and the int
+   *     positions; the text column rides its own scan straight into the
+   *     final projection.
+   *
+   * Output: key, clean_text (surviving lines joined by '\n'; empty
+   * string when every line was boilerplate), n_kept, n_dropped.
+   */
+  def dropBoilerplateLines(df: DataFrame, key: String, text: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val lines = df.select(col(key), split(col(text), "\n").as("__lines"))
+    val frequent = lines
+      .select(col(key), explode(array_distinct(col("__lines"))).as("__l"))
+      .select(md5(col("__l")).as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minDocs).select("__d")
+    val kept = lines
+      .select(col(key), posexplode(col("__lines")).as(Seq("__p", "__l")))
+      .select(col(key), col("__p"), md5(col("__l")).as("__d"))
+      .join(frequent, Seq("__d"), "left_anti")
+      .groupBy(key).agg(sort_array(collect_list(col("__p"))).as("__keep"))
+    lines.join(kept, Seq(key), "left")
+      .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
+      .select(col(key),
+        concat_ws("\n",
+          transform(col("__keep"), p => element_at(col("__lines"), p + 1))).as("clean_text"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(col("__lines")) - size(col("__keep"))).cast("long").as("n_dropped"))
+  }
 }

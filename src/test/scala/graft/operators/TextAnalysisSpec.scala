@@ -92,4 +92,61 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.piiCount(org.apache.spark.sql.functions.lit("x"), "ssn")
     }
   }
+
+  // ----- dropBoilerplateLines (the C4/MassiveText line-dedup step) -----
+
+  private def boiler(rows: Seq[(Long, String)], minDocs: Long): Map[Long, (String, Long, Long)] =
+    TextAnalysis.dropBoilerplateLines(rows.toDF("doc_id", "text"), "doc_id", "text", minDocs)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("dropBoilerplateLines drops cross-doc lines, keeps order, handles all-boilerplate docs") {
+    val rows = Seq(
+      10L -> "keep one\ncookie banner\nkeep two",
+      11L -> "cookie banner\nfooter (c) corp\nunique eleven",
+      12L -> "unique twelve\ncookie banner\nfooter (c) corp",
+      13L -> "cookie banner\nfooter (c) corp", // every line boilerplate
+      14L -> "solo line stays") // no repetition at all
+    val got = boiler(rows, minDocs = 2)
+    assert(got(10L) == (("keep one\nkeep two", 2L, 1L)))
+    assert(got(11L) == (("unique eleven", 1L, 2L)))
+    assert(got(12L) == (("unique twelve", 1L, 2L)))
+    assert(got(13L) == (("", 0L, 2L))) // survives as an EMPTY doc, not a lost row
+    assert(got(14L) == (("solo line stays", 1L, 0L)))
+  }
+
+  test("dropBoilerplateLines counts DISTINCT documents, not occurrences") {
+    val rows = Seq(
+      20L -> "echo\necho\necho", // 3 occurrences but ONE document
+      21L -> "other stuff")
+    val got = boiler(rows, minDocs = 2)
+    // one doc repeating a line 3x must NOT make it corpus boilerplate
+    assert(got(20L) == (("echo\necho\necho", 3L, 0L)))
+    // ...but the same line in two docs does
+    val got2 = boiler(rows :+ (22L -> "echo\nmore"), minDocs = 2)
+    assert(got2(20L) == (("", 0L, 3L)))
+    assert(got2(22L) == (("more", 1L, 1L)))
+  }
+
+  test("dropBoilerplateLines matches a brute-force reference on a generated corpus") {
+    val boilerLines = Seq("nav home about", "copyright 2026 corp", "accept cookies")
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 60L).map { i =>
+      val own = (0 until 3 + rnd.nextInt(4)).map(j => s"content $i $j ${rnd.nextInt(5)}")
+      val injected = boilerLines.filter(_ => rnd.nextBoolean())
+      i -> rnd.shuffle(own ++ injected).mkString("\n")
+    }
+    val minDocs = 5L
+    // brute force on the driver
+    val lineDocs = rows.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    val frequent = lineDocs.filter(_._2 >= minDocs).keySet
+    val want = rows.map { case (id, t) =>
+      val kept = t.split("\n", -1).filterNot(frequent)
+      id -> ((kept.mkString("\n"), kept.length.toLong,
+        (t.split("\n", -1).length - kept.length).toLong))
+    }.toMap
+    assert(boiler(rows, minDocs) == want)
+    assert(frequent.nonEmpty, "fixture must actually produce boilerplate")
+  }
 }

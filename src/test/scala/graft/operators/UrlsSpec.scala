@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+class UrlsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.canonical(col("u"))).as[String].collect().toSeq
+
+  test("case, default ports, fragments, empty path (RFC 3986 §6.2)") {
+    assert(canon(
+      "HTTP://Example.COM:80/Path/Sub?q=1#frag",
+      "https://EXAMPLE.com:443/",
+      "http://example.com",
+      "http://example.com:8080/x",     // NON-default port survives
+      "https://example.com:80/x"       // 80 is not https's default
+    ) == Seq(
+      "http://example.com/Path/Sub?q=1", // path case PRESERVED
+      "https://example.com/",
+      "http://example.com/",
+      "http://example.com:8080/x",
+      "https://example.com:80/x"))
+  }
+
+  test("tracking params drop, survivors sort, bare ? collapses") {
+    assert(canon(
+      "http://h.io/p?utm_source=tw&b=2&a=1&utm_medium=em",
+      "http://h.io/p?a=1&b=2",
+      "http://h.io/p?b=2&a=1",
+      "http://h.io/p?fbclid=XYZ&gclid=1&msclkid=2",
+      "http://h.io/p?",
+      "http://h.io/p?utm=keepme" // 'utm' w/o underscore is NOT tracking
+    ) == Seq(
+      "http://h.io/p?a=1&b=2",
+      "http://h.io/p?a=1&b=2",
+      "http://h.io/p?a=1&b=2",
+      "http://h.io/p",
+      "http://h.io/p",
+      "http://h.io/p?utm=keepme"))
+  }
+
+  test("canonicalization is idempotent") {
+    val raw = Seq(
+      "HTTP://A.B:80/x/y?utm_source=1&z=9&a=2#f",
+      "https://Q.R/",
+      "http://s.t/p?gclid=1",
+      "http://u.v:8443/w?b=1&a=2")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("query-only and fragment-only urls keep their content params") {
+    assert(canon(
+      "http://h.io?x=1",          // no path before the query
+      "http://h.io/#only-frag"
+    ) == Seq(
+      "http://h.io/?x=1",
+      "http://h.io/"))
+  }
+
+  test("canonicalDedup collapses variants and counts raw rows + distinct variants") {
+    val df = Seq(
+      "http://E.com/a?utm_source=1",
+      "HTTP://e.COM:80/a",
+      "http://e.com/a#x",
+      "http://e.com/a#x", // duplicate RAW row: 4 raws, 3 distinct variants
+      "http://e.com/b").toDF("url")
+    val got = Urls.canonicalDedup(df, "url")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("http://e.com/a") == ((4L, 3L)))
+    assert(got("http://e.com/b") == ((1L, 1L)))
+  }
+}
