@@ -690,6 +690,32 @@ object SparkEntry {
           .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst")),
         "src", "dst", iterations = 4)),
 
+    // ExactSubstr dedup spans (Lee et al. 2022): token positions inside a
+    // 6-token window that occurs >= 2x anywhere in the corpus; per-doc
+    // covered-token counts by exact interval arithmetic
+    "q100_exact_substr" -> ((s, d) =>
+      Dedup.exactSubstrSpans(tbl(s, d, "documents"), "doc_id", "text", minTokens = 6)),
+
+    // unigram-surprisal quality score: -log2 p(token) integer-approximated
+    // by bit lengths (floorlog2(N) - floorlog2(count)) — exact in both
+    // engines via the shared bin() builtin
+    "q101_surprisal" -> ((s, d) =>
+      TextAnalysis.surprisal(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // shoelace area + centroid over star-shaped integer rings (8 compass
+    // directions, per-nation radii): CCW and positive coords by
+    // construction, so area2 > 0 and the centroid divisions are portable
+    "q102_polygon_measures" -> ((s, d) => {
+      val k = col("n_nationkey").cast("long")
+      def r(dir: Int) = (k * 7 + dir * 13) % 50 + 10
+      val cx = k % 5 * 200 + 300; val cy = k % 7 * 150 + 300
+      val rings = tbl(s, d, "nation").select(col("n_nationkey"), array(
+        cx + r(0), cy, cx + r(1), cy + r(1), cx, cy + r(2), cx - r(3), cy + r(3),
+        cx - r(4), cy, cx - r(5), cy - r(5), cx, cy - r(6), cx + r(7), cy - r(7)
+      ).as("ring"))
+      Polygons.measures(rings, "ring").select("n_nationkey", "area2", "cx", "cy")
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1489,6 +1515,70 @@ object SparkEntry {
          |${(1 to 4).map(iter).mkString(",\n")}
          |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r4""".stripMargin
     },
+
+    // q100: identical window census — 6-token window digests counted
+    // corpus-wide, dup positions folded into covered-token counts with
+    // the same capped-gap interval arithmetic (all integers)
+    "q100_exact_substr" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, i AS pos,
+         |        md5(array_to_string(list_slice(ts, i+1, i+6), ' ')) AS d
+         |      FROM t, LATERAL unnest(generate_series(0, len(ts) - 6)) AS u(i)
+         |      WHERE len(ts) >= 6),
+         |dup AS (SELECT d FROM g GROUP BY d HAVING count(*) >= 2),
+         |s AS (SELECT doc_id, list_sort(list(pos)) AS ps
+         |      FROM g WHERE d IN (SELECT d FROM dup) GROUP BY doc_id),
+         |cv AS (SELECT doc_id,
+         |        6 + coalesce(list_sum(list_transform(generate_series(1, len(ps)-1),
+         |              j -> least(6, ps[j+1] - ps[j]))), 0) AS cov
+         |       FROM s)
+         |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(cov, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(coalesce(cov, 0) * 10000 // len(ts) AS BIGINT) AS dup_ratio_bp
+         |FROM t LEFT JOIN cv USING (doc_id)""".stripMargin),
+
+    // q101: same bit-length surprisal — floorlog2 via the shared bin()
+    // builtin, corpus N and per-token counts over md5 digests
+    "q101_surprisal" ->
+      ("""WITH tk AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS d FROM documents),
+         |c AS (SELECT d, count(*) AS c FROM tk GROUP BY d),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM c),
+         |i AS (SELECT d, CAST(length(bin(N)) - length(bin(c)) AS BIGINT) AS bits FROM c, nn)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bits) AS BIGINT) AS total_bits,
+         |  CAST(sum(bits) * 10000 // count(*) AS BIGINT) AS mean_bits_bp
+         |FROM tk JOIN i USING (d) GROUP BY doc_id""".stripMargin),
+
+    // q102: the same star rings, the same shoelace/centroid integer
+    // formulas (CCW + positive coords ⇒ // equals Spark div)
+    "q102_polygon_measures" ->
+      ("""WITH b AS (SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS k,
+         |             (CAST(n_nationkey AS BIGINT) % 5) * 200 + 300 AS cx,
+         |             (CAST(n_nationkey AS BIGINT) % 7) * 150 + 300 AS cy FROM nation),
+         |ring AS (SELECT n_nationkey,
+         |  [cx + (k*7 +  0*13) % 50 + 10, cy,
+         |   cx + (k*7 +  1*13) % 50 + 10, cy + (k*7 + 1*13) % 50 + 10,
+         |   cx, cy + (k*7 + 2*13) % 50 + 10,
+         |   cx - ((k*7 + 3*13) % 50 + 10), cy + (k*7 + 3*13) % 50 + 10,
+         |   cx - ((k*7 + 4*13) % 50 + 10), cy,
+         |   cx - ((k*7 + 5*13) % 50 + 10), cy - ((k*7 + 5*13) % 50 + 10),
+         |   cx, cy - ((k*7 + 6*13) % 50 + 10),
+         |   cx + (k*7 + 7*13) % 50 + 10, cy - ((k*7 + 7*13) % 50 + 10)] AS ring
+         |  FROM b),
+         |m AS (SELECT n_nationkey, ring, len(ring)//2 AS n FROM ring),
+         |a AS (SELECT n_nationkey,
+         |  list_sum(list_transform(generate_series(0, n-1), i ->
+         |    ring[2*i+1] * ring[2*((i+1)%n)+2] - ring[2*((i+1)%n)+1] * ring[2*i+2])) AS area2,
+         |  list_sum(list_transform(generate_series(0, n-1), i ->
+         |    (ring[2*i+1] + ring[2*((i+1)%n)+1]) *
+         |    (ring[2*i+1] * ring[2*((i+1)%n)+2] - ring[2*((i+1)%n)+1] * ring[2*i+2]))) AS nx,
+         |  list_sum(list_transform(generate_series(0, n-1), i ->
+         |    (ring[2*i+2] + ring[2*((i+1)%n)+2]) *
+         |    (ring[2*i+1] * ring[2*((i+1)%n)+2] - ring[2*((i+1)%n)+1] * ring[2*i+2]))) AS ny
+         |  FROM m)
+         |SELECT n_nationkey, CAST(area2 AS BIGINT) AS area2,
+         |  CAST(nx // (3 * area2) AS BIGINT) AS cx,
+         |  CAST(ny // (3 * area2) AS BIGINT) AS cy FROM a""".stripMargin),
 
     "q24_knn" ->
       (s"""WITH $PointsSqlCte, $CentroidSqlCte

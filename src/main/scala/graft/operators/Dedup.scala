@@ -351,4 +351,66 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("key_a", "key_b", "jaccard")
   }
+
+  /**
+   * Exact-substring duplication spans (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — the ExactSubstr side
+   * of that paper, token-level): a token position is DUPLICATED when it
+   * lies inside a window of `minTokens` consecutive tokens whose exact
+   * sequence occurs at least twice in the corpus (anywhere — another
+   * document or another offset of the same document).
+   *
+   * The suffix-array construction of the paper collapses, in a
+   * declarative engine, to a window census: a span of length L >=
+   * minTokens occurs twice iff ALL of its length-minTokens sub-windows
+   * occur twice, so the duplicated-token set is exactly the union of
+   * [p, p+minTokens) over positions p whose window digest has corpus
+   * count >= 2. No global suffix sort, no cross-row comparison — one
+   * groupBy(digest) census and one semi-join.
+   *
+   * Scale shape (document text never shuffles):
+   *  1. per position, md5 of the minTokens-token window — 16-byte
+   *     digests enter the census exchange, not token strings;
+   *  2. duplicated-window digests (count >= 2) semi-join back onto the
+   *     (key, pos, digest) rows — the census output is aggregate-sized,
+   *     AQE broadcasts it when small;
+   *  3. per document, the sorted dup positions fold into covered-token
+   *     counts with interval arithmetic (sum of min(minTokens, gap)) —
+   *     integers only, so the DuckDB oracle replays it exactly.
+   *
+   * Output: key, n_tokens, dup_tokens (tokens inside some duplicated
+   * window), dup_ratio_bp = dup_tokens·10000 div n_tokens — the
+   * keep/trim signal the paper's pipeline thresholds on.
+   */
+  def exactSubstrSpans(df: DataFrame, key: String, text: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2 (got $minTokens)")
+    val m = minTokens
+    val toks = df.select(col(key), TextAnalysis.tokens(col(text)).as("__ts"))
+      .select(col(key), col("__ts"), size(col("__ts")).as("__n"))
+    // one row per full-window start position; sequence(1,0) DESCENDS, so
+    // short documents must map to an empty position array explicitly
+    val grams = toks
+      .select(col(key), col("__ts"),
+        explode(when(col("__n") >= m, sequence(lit(0), col("__n") - m))
+          .otherwise(array().cast("array<int>"))).as("__p"))
+      .select(col(key), col("__p"),
+        md5(concat_ws(" ", slice(col("__ts"), col("__p") + 1, lit(m)))
+          .cast("binary")).as("__d"))
+    val dupWindows = grams.groupBy("__d").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("__d")
+    val perDoc = grams.join(dupWindows, Seq("__d"), "left_semi")
+      .groupBy(key).agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .select(col(key), (lit(m.toLong) + coalesce(aggregate(
+        // gaps between consecutive dup starts, capped at the window width
+        when(size(col("__ps")) >= 2, transform(
+          sequence(lit(1), size(col("__ps")) - 1),
+          j => least(lit(m), element_at(col("__ps"), j + 1) - element_at(col("__ps"), j))
+            .cast("long"))).otherwise(array().cast("array<long>")),
+        lit(0L), (acc, g) => acc + g), lit(0L))).as("__cov"))
+    toks.join(perDoc, Seq(key), "left")
+      .select(col(key), col("__n").cast("long").as("n_tokens"),
+        coalesce(col("__cov"), lit(0L)).as("dup_tokens"),
+        expr(s"coalesce(__cov, 0L) * 10000L div __n").as("dup_ratio_bp"))
+  }
 }

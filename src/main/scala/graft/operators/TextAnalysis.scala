@@ -295,6 +295,46 @@ object TextAnalysis {
    * Output: key, clean_text (surviving lines joined by '\n'; empty
    * string when every line was boilerplate), n_kept, n_dropped.
    */
+  /**
+   * Unigram-surprisal quality score — the CCNet/Wikipedia-LM "how
+   * surprising is this document under a corpus language model" signal,
+   * restricted to a unigram model and EXACT integer arithmetic so any
+   * engine reproduces it bit-for-bit (float log-probs are neither
+   * portable nor shuffle-order-stable; curation consumes the ORDER of
+   * scores, which integer bits preserve).
+   *
+   * Per-token information ≈ -log2 p(token), integer-approximated as
+   *   info(t) = floorlog2(N) - floorlog2(count(t))
+   * where N = corpus token count and floorlog2(x) = length(bin(x)) - 1
+   * — `bin` (the binary-digits string) is built into both Spark and
+   * DuckDB, so the bit-length trick replaces the non-portable log. Rare
+   * tokens score high, stopwords score ~0; a document of boilerplate
+   * stopwords ranks low, one of rare-token gibberish ranks high — the
+   * same two tails CCNet's perplexity filter cuts.
+   *
+   * Scale shape: one digest-only census (16-byte md5 per token
+   * occurrence → groupBy count), the vocabulary-sized info table joins
+   * back broadcast-style (AQE), and the per-document sum is a map-side
+   * partial aggregate. Document text never shuffles.
+   *
+   * Output: key, n_tokens, total_bits, mean_bits_bp (= total·10000 div
+   * n_tokens — basis points keep it integral).
+   */
+  def surprisal(df: DataFrame, key: String, text: String): DataFrame = {
+    val toks = df.select(col(key), explode(tokens(col(text))).as("__t"))
+      .select(col(key), md5(col("__t").cast("binary")).as("__d"))
+    val counts = toks.groupBy("__d").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__N"))
+    val info = counts.crossJoin(broadcast(total))
+      .select(col("__d"),
+        (length(bin(col("__N"))) - length(bin(col("__c")))).cast("long").as("__i"))
+    toks.join(info, Seq("__d"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__i")).as("total_bits"))
+      .select(col(key), col("n_tokens"), col("total_bits"),
+        expr("total_bits * 10000L div n_tokens").as("mean_bits_bp"))
+  }
+
   def dropBoilerplateLines(df: DataFrame, key: String, text: String,
       minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")

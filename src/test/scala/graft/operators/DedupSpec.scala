@@ -110,4 +110,65 @@ class DedupSpec extends AnyFunSuite {
       .select("jaccard").as[Double].collect()
     assert(r.toSeq == Seq(0.3333))
   }
+
+  // ----- exactSubstrSpans (Lee et al. ExactSubstr, token-level) -----
+
+  private def spans(rows: Seq[(Long, String)], m: Int): Map[Long, (Long, Long, Long)] =
+    Dedup.exactSubstrSpans(rows.toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("exactSubstrSpans marks cross-doc repeated windows, counts covered tokens") {
+    // docs 1/2 share the 4-token run "p q r s"; m=3 covers exactly those
+    // 4 tokens in each (windows at the run's two start offsets union to 4)
+    val rows = Seq(
+      1L -> "a b p q r s c d",
+      2L -> "x p q r s y z w",
+      3L -> "unrelated tokens only here")
+    val got = spans(rows, m = 3)
+    assert(got(1L) == ((8L, 4L, 5000L)))
+    assert(got(2L) == ((8L, 4L, 5000L)))
+    assert(got(3L) == ((4L, 0L, 0L)))
+  }
+
+  test("exactSubstrSpans counts within-doc repeats and whole-doc duplication") {
+    val rows = Seq(
+      1L -> "m n o m n o",      // window "m n o" occurs at offsets 0 and 3
+      2L -> "c1 c2 c3 c4 c5",
+      3L -> "c1 c2 c3 c4 c5")   // exact duplicate doc: fully covered
+    val got = spans(rows, m = 3)
+    assert(got(1L) == ((6L, 6L, 10000L)))  // [0,3)∪[3,6) = all 6 tokens
+    assert(got(2L) == ((5L, 5L, 10000L)))
+    assert(got(3L) == ((5L, 5L, 10000L)))
+    // docs shorter than the window can never be covered
+    val short = spans(Seq(1L -> "a b", 2L -> "a b"), m = 3)
+    assert(short(1L) == ((2L, 0L, 0L)) && short(2L) == ((2L, 0L, 0L)))
+  }
+
+  test("exactSubstrSpans matches a brute-force reference on a generated corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val shared = Seq.fill(7)(vocab(rnd.nextInt(vocab.size)))
+    val rows = (0L until 50L).map { i =>
+      val own = Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      val withShared = if (i % 3 == 0) {
+        val at = rnd.nextInt(own.size)
+        own.take(at) ++ shared ++ own.drop(at)
+      } else own
+      i -> withShared.mkString(" ")
+    }
+    val m = 4
+    // brute force: covered = union of [p, p+m) over windows with count >= 2
+    val winCount = rows.flatMap { case (_, t) =>
+      val ts = t.split(" "); (0 to ts.length - m).map(p => ts.slice(p, p + m).mkString(" "))
+    }.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val want = rows.map { case (id, t) =>
+      val ts = t.split(" ")
+      val cov = (0 to ts.length - m).filter(p => winCount(ts.slice(p, p + m).mkString(" ")) >= 2)
+        .flatMap(p => p until p + m).distinct.size.toLong
+      id -> ((ts.length.toLong, cov, cov * 10000L / ts.length))
+    }.toMap
+    assert(spans(rows, m) == want)
+    assert(want.values.exists(_._2 > 0), "fixture must contain duplicated spans")
+  }
 }

@@ -149,4 +149,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(boiler(rows, minDocs) == want)
     assert(frequent.nonEmpty, "fixture must actually produce boilerplate")
   }
+
+  // ----- surprisal (unigram bit-length quality score) -----
+
+  test("surprisal: rare tokens score high, repeated tokens low, exact integers") {
+    // corpus: "the" x12, "rare" x1, others filler -> N=16 tokens
+    val rows = Seq(
+      1L -> "the the the the the the",   // 6 tokens, all common
+      2L -> "the the the the the rare",  // 5 common + 1 rare
+      3L -> "a b c d")                   // singletons
+    val got = TextAnalysis.surprisal(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // N = 16 -> floorlog2 = 4; count(the)=11 -> fl2=3 -> info 1;
+    // singletons (rare, a, b, c, d): count 1 -> info 4
+    assert(got(1L) == ((6L, 6L, 10000L)))           // 6 x info(the)=1
+    assert(got(2L) == ((6L, 9L, 15000L)))           // 5x1 + 4
+    assert(got(3L) == ((4L, 16L, 40000L)))          // 4x4
+  }
+
+  test("surprisal matches a brute-force bit-length model on a generated corpus") {
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val rows = (0L until 80L).map { i =>
+      i -> Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val all = rows.flatMap(_._2.split(" "))
+    val counts = all.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val bigN = all.size.toLong
+    val want = rows.map { case (id, t) =>
+      val toks = t.split(" ")
+      val bits = toks.map(tk => fl2(bigN) - fl2(counts(tk))).sum
+      id -> ((toks.length.toLong, bits, bits * 10000L / toks.length))
+    }.toMap
+    val got = TextAnalysis.surprisal(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+  }
 }
