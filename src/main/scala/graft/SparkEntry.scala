@@ -82,6 +82,28 @@ object SparkEntry {
 
   private lazy val Q13Sql: String = minhashPairsSql(0.05)
 
+  /** DuckDB mirror of Graph.pageRank over the q99/q104 orders-derived
+   * graph: `iters` exact 2^40 fixed-point iterations unrolled — integer
+   * division everywhere (operands non-negative, so DuckDB // == Spark
+   * div), long sums are order-free ⇒ bit-identical ranks. */
+  private def pageRankSql(iters: Int): String = {
+    val scale = 1L << 40
+    def iter(k: Int): String =
+      s"""i$k AS (SELECT e.dst, sum(r.rank // deg.outdeg) AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         |r$k AS (SELECT node, ($scale * 15 // 100) // (SELECT n FROM params)
+         |    + 85 * coalesce(i$k.s, 0) // 100 AS rank
+         |  FROM nodes LEFT JOIN i$k ON nodes.node = i$k.dst)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $scale // (SELECT n FROM params) AS rank FROM nodes),
+       |${(1 to iters).map(iter).mkString(",\n")}
+       |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r$iters""".stripMargin
+  }
+
   /** DuckDB mirror of Dedup.simhash64 (shared by q52/q53). */
   private val Sim64SqlCte =
     """WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
@@ -714,6 +736,23 @@ object SparkEntry {
         cx - r(4), cy, cx - r(5), cy - r(5), cx, cy - r(6), cx + r(7), cy - r(7)
       ).as("ring"))
       Polygons.measures(rings, "ring").select("n_nationkey", "area2", "cx", "cy")
+    }),
+
+    // audio frame-sampling: 400-sample windows over the q72 WAV fixture,
+    // per-frame integer features (sum|x|, peak, Σx²)
+    "q103_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.audioFrames(Multimodal.syntheticWav(s, 200, 8000, 1600), 400).toDF()
+    }),
+
+    // snapshot-resumable PageRank: every iteration commits as an
+    // idempotent lineage-carrying wave; the result is bit-identical to
+    // the in-memory walk (same oracle builder as q99, 3 iterations)
+    "q104_pagerank_resumable" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q104").toString
+      Graph.pageRankResumable(tbl(s, d, "orders")
+          .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst")),
+        "src", "dst", iterations = 3, root = dir, table = "ranks")
     }),
 
     "q24_knn" -> ((s, d) =>
@@ -1498,23 +1537,22 @@ object SparkEntry {
     // q99: the same 4 iterations unrolled — 2^40 fixed point, integer
     // division everywhere (operands non-negative, so DuckDB // == Spark
     // div), long sums are order-free ⇒ bit-identical ranks
-    "q99_pagerank" -> {
-      val scale = 1L << 40
-      def iter(k: Int): String =
-        s"""i$k AS (SELECT e.dst, sum(r.rank // deg.outdeg) AS s
-           |  FROM e JOIN r${k - 1} r ON e.src = r.node
-           |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
-           |r$k AS (SELECT node, ($scale * 15 // 100) // (SELECT n FROM params)
-           |    + 85 * coalesce(i$k.s, 0) // 100 AS rank
-           |  FROM nodes LEFT JOIN i$k ON nodes.node = i$k.dst)""".stripMargin
-      s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         |params AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT node, $scale // (SELECT n FROM params) AS rank FROM nodes),
-         |${(1 to 4).map(iter).mkString(",\n")}
-         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r4""".stripMargin
-    },
+    "q99_pagerank" -> pageRankSql(4),
+
+    // q103: same closed-form synth as q72, reduced per 400-sample frame
+    // (offset 50 ms/frame at 8 kHz) — sum|x|, peak, Σx² all integers
+    "q103_audio_frames" ->
+      ("""WITH s AS (SELECT k.k, f.f, ABS(((31*k.k + 17*(f.f*400 + j.j)) % 65536) - 32768) AS a
+         |  FROM range(0, 200) k(k), range(0, 4) f(f), range(0, 400) j(j))
+         |SELECT k AS key, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(f * 50 AS BIGINT) AS offset_ms, CAST(400 AS INTEGER) AS n,
+         |  CAST(SUM(a) AS BIGINT) AS sum_abs, CAST(MAX(a) AS INTEGER) AS peak,
+         |  CAST(SUM(a * a) AS BIGINT) AS sum_sq
+         |FROM s GROUP BY k, f""".stripMargin),
+
+    // q104: resumable = bit-identical to in-memory — one shared oracle
+    // builder, 3 iterations
+    "q104_pagerank_resumable" -> pageRankSql(3),
 
     // q100: identical window census — 6-token window digests counted
     // corpus-wide, dup positions folded into covered-token counts with

@@ -50,10 +50,31 @@ object Graph {
    */
   def pageRank(edges: DataFrame, src: String, dst: String, iterations: Int,
       scaleBits: Int = 40): DataFrame = {
+    val (eWithDeg, nodes, base, r0) = prep(edges, src, dst, iterations, scaleBits)
+    var rank = r0
+    var prevRound: DataFrame = null // only OUR per-round checkpoints release
+    for (_ <- 1 to iterations) {
+      val next = step(rank, eWithDeg, nodes, base).localCheckpoint(true)
+      // release round i−1's blocks (NOT the initial rank — that one
+      // references the shared nodes checkpoint, which later rounds and
+      // the final join still read)
+      if (prevRound != null)
+        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(prevRound)
+      prevRound = next
+      rank = next
+    }
+    rank.select(col("node"), col("rank"))
+    // the last round's blocks (and e/eWithDeg/nodes) stay live — the
+    // caller owns the returned frame; release after the final action
+  }
+
+  /** Shared setup: distinct long edges carrying out-degree, the node set,
+   * the per-iteration base mass and the uniform initial ranks. */
+  private def prep(edges: DataFrame, src: String, dst: String,
+      iterations: Int, scaleBits: Int): (DataFrame, DataFrame, Long, DataFrame) = {
     require(iterations >= 0 && iterations <= 64, s"iterations in [0,64] (got $iterations)")
     require(scaleBits >= 10 && scaleBits <= 40, s"scaleBits in [10,40] (got $scaleBits)")
     val scale = 1L << scaleBits
-
     val e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -67,33 +88,73 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-
     val n = nodes.count() // metadata-sized driver scalar (node count)
     require(n > 0, "pageRank needs at least one edge")
     val base = (scale * 15L / 100L) / n
+    (eWithDeg, nodes, base, nodes.select(col("node"), lit(scale / n).as("rank")))
+  }
 
-    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
-    var prevRound: DataFrame = null // only OUR per-round checkpoints release
-    for (_ <- 1 to iterations) {
-      val sums = eWithDeg
-        .join(rank, eWithDeg("src") === rank("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s")) // exact long sums, order-free
-      val next = nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
-        .localCheckpoint(true)
-      // release round i−1's blocks (NOT the initial rank — that one
-      // references the shared nodes checkpoint, which later rounds and
-      // the final join still read)
-      if (prevRound != null)
-        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(prevRound)
-      prevRound = next
-      rank = next
+  /** One exact power iteration: rank ⋈ edges on src, long-sum by dst,
+   * damp, re-seed dangling receivers from the base mass. */
+  private def step(rank: DataFrame, eWithDeg: DataFrame, nodes: DataFrame,
+      base: Long): DataFrame = {
+    val sums = eWithDeg
+      .join(rank, eWithDeg("src") === rank("node"))
+      .select(col("dst"), expr("rank div outdeg").as("c"))
+      .groupBy("dst").agg(sum("c").as("s")) // exact long sums, order-free
+    nodes.join(sums, nodes("node") === sums("dst"), "left")
+      .select(col("node"),
+        (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+  }
+
+  /**
+   * [[pageRank]] with snapshot-committed iterations — the cluster-durable
+   * form the north rule asks of every stage: each power iteration commits
+   * its rank table as an idempotent snapshot wave
+   * ([[graft.snap.SnapshotCatalog.commitWave]] — atomic manifest rename,
+   * per-partition lineage rows, wall-time counters), so a crash at
+   * iteration i resumes AT iteration i on the next run instead of
+   * restarting the walk. Iteration state lives in storage (parquet), not
+   * executor memory — a lost executor costs a task retry, not the job
+   * (contrast `localCheckpoint`, whose blocks die with their executor).
+   *
+   * Because ranks are EXACT integers (see [[pageRank]]'s arithmetic
+   * contract), the resumed run is bit-identical to an uninterrupted one —
+   * resumability needs determinism, which float PageRank cannot offer.
+   *
+   * Each committed wave carries an `iter` column; reading iteration i
+   * back filters on it — parquet row-group stats (min = max = iter per
+   * file) prune every other iteration's files, so the read costs one
+   * iteration's data, not the chain's. Time travel over the ranks table
+   * ([[graft.snap.SnapshotCatalog.readAt]]) gives the full convergence
+   * history for free.
+   *
+   * @return (node, rank) at `iterations`, read back from the snapshot
+   *         table (already durable — no caller-side checkpointing needed)
+   */
+  def pageRankResumable(edges: DataFrame, src: String, dst: String,
+      iterations: Int, root: String, table: String,
+      scaleBits: Int = 40): DataFrame = {
+    import graft.snap.SnapshotCatalog
+    val spark = edges.sparkSession
+    val (eWithDeg, nodes, base, r0) = prep(edges, src, dst, iterations, scaleBits)
+    val done = SnapshotCatalog.currentManifest(root, table)
+      .map(_.completedWaves.toSet).getOrElse(Set.empty)
+    require(done.forall(_ <= iterations),
+      s"table $table already holds ${done.max} iterations (> $iterations); " +
+        "use a fresh table or ask for at least as many iterations")
+    def readIter(i: Int): DataFrame =
+      SnapshotCatalog.read(spark, root, table)
+        .where(col("iter") === i).select("node", "rank")
+    (0 to iterations).foreach { i =>
+      if (!done.contains(i)) {
+        // waves commit strictly in order, so iteration i−1 is durable
+        // (either from THIS run or a previous crashed one) before i runs
+        val out = if (i == 0) r0 else step(readIter(i - 1), eWithDeg, nodes, base)
+        SnapshotCatalog.commitWave(spark, out, i, root, table)(
+          _.withColumn("iter", lit(i)))
+      }
     }
-    rank.select(col("node"), col("rank"))
-    // the last round's blocks (and e/eWithDeg/nodes) stay live — the
-    // caller owns the returned frame; release after the final action
+    readIter(iterations)
   }
 }

@@ -218,6 +218,46 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrame(key: Long, frame_idx: Int, offset_ms: Long,
+      n: Int, sum_abs: Long, peak: Int, sum_sq: Long)
+
+  /**
+   * Frame-sample a PCM-16 WAV column: fixed windows of `frameSamples`
+   * samples (the last frame may be short), each reduced to integer
+   * features — sum|x| (mean-amplitude numerator), peak |x| (clipping /
+   * silence detection) and Σx² (the RMS-energy numerator). REAL kernel
+   * (the driver's multimodal frame-sample step, done on the codec-free
+   * format); all-integer outputs so the oracle replays it closed-form.
+   *
+   * Scale shape: mapPartitions row-local expansion — frames per row =
+   * ceil(n/frameSamples), no shuffle; downstream aggregations see narrow
+   * fixed-width rows instead of megabyte payloads. Overflow: Σx² ≤
+   * 2³⁰·frame length — safe for any realistic clip (< 2³³ samples/frame).
+   */
+  def audioFrames(media: Dataset[Media], frameSamples: Int): Dataset[AudioFrame] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1 (got $frameSamples)")
+    import media.sparkSession.implicits._
+    media.filter(_.mediaType == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavPcm16(m.payload).toSeq.flatMap { case (rate, samples) =>
+          (0 until samples.length by frameSamples).iterator.map { start =>
+            val end = math.min(start + frameSamples, samples.length)
+            var sumAbs = 0L; var sumSq = 0L; var peak = 0
+            var j = start
+            while (j < end) {
+              val a = math.abs(samples(j).toInt)
+              sumAbs += a; sumSq += a.toLong * a
+              if (a > peak) peak = a
+              j += 1
+            }
+            AudioFrame(m.key, start / frameSamples,
+              start.toLong * 1000L / rate, end - start, sumAbs, peak, sumSq)
+          }
+        }
+      }
+    }
+  }
+
   /** ======== STUB KERNELS (deterministic fakes; replace with codecs) ==== */
 
   /** STUB: "decode" image header. Real impl: javax.imageio / libvips. */

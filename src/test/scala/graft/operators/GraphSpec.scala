@@ -70,4 +70,47 @@ class GraphSpec extends AnyFunSuite {
     val g = Seq(7L -> 7L, 7L -> 8L)
     assert(run(g, 3) == refPageRank(g, 3))
   }
+
+  // ----- pageRankResumable (snapshot-committed iterations) -----
+
+  private def runResumable(edges: Seq[(Long, Long)], iters: Int,
+      root: String): Map[Long, Long] =
+    Graph.pageRankResumable(edges.toDF("s", "d"), "s", "d", iters,
+      root = root, table = "ranks").as[(Long, Long)].collect().toMap
+
+  test("resumable equals in-memory, resumes a shorter run, reruns commit nothing") {
+    import graft.snap.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    // a "crashed" run that only got through iteration 2
+    assert(runResumable(web, 2, root) == run(web, 2))
+    val after2 = SnapshotCatalog.currentManifest(root, "ranks").get
+    assert(after2.completedWaves == Seq(0, 1, 2))
+    // asking for 5 resumes AT iteration 3 — waves 0-2 are not re-run
+    assert(runResumable(web, 5, root) == run(web, 5))
+    val after5 = SnapshotCatalog.currentManifest(root, "ranks").get
+    assert(after5.completedWaves == Seq(0, 1, 2, 3, 4, 5))
+    assert(after5.snapshotId == 5) // exactly 6 commits total, ever
+    // a full rerun is a no-op: same result, no new snapshot
+    assert(runResumable(web, 5, root) == run(web, 5))
+    assert(SnapshotCatalog.currentManifest(root, "ranks").get.snapshotId == 5)
+    // time travel: the snapshot chain holds the full convergence history
+    val asOf2 = SnapshotCatalog.readAt(spark, root, "ranks", 2)
+      .where(col("iter") === 2).select("node", "rank")
+      .as[(Long, Long)].collect().toMap
+    assert(asOf2 == run(web, 2))
+    // shrinking the ask below committed history is a loud error
+    assertThrows[IllegalArgumentException](runResumable(web, 3, root))
+  }
+
+  test("resumable carries per-iteration lineage counters") {
+    import graft.snap.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_pr2").toString
+    runResumable(triangle, 2, root)
+    val lin = SnapshotCatalog.lineage(spark, root, "ranks")
+    // 3 waves (iterations 0-2), each with >= 1 partition row and 3 output rows
+    val byWave = lin.groupBy("wave").agg(sum("outputRows").as("out"))
+      .as[(Int, Long)].collect().toMap
+    assert(byWave.keySet == Set(0, 1, 2))
+    assert(byWave.values.forall(_ == 3L))
+  }
 }

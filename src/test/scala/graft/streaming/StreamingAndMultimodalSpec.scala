@@ -316,4 +316,40 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
         s.duration_ms == 200 && s.sum_abs == sumAbs)
     }
   }
+
+  test("audio frame-sampling: per-frame integer features, ragged tail, frames sum to stats") {
+    // 1600 samples / 700-sample frames -> frames of 700, 700, 200
+    val frames = Multimodal.audioFrames(
+        Multimodal.syntheticWav(spark, 6, 8000, 1600), 700)
+      .collect().map(f => (f.key, f.frame_idx) -> f).toMap
+    assert(frames.size == 18)
+    def sample(k: Long, i: Int): Long = math.abs((31 * k + 17 * i) % 65536 - 32768)
+    for (k <- 0L until 6L; fi <- 0 until 3) {
+      val f = frames((k, fi))
+      val idx = (fi * 700) until math.min(fi * 700 + 700, 1600)
+      assert(f.n == idx.size)
+      assert(f.offset_ms == fi * 700L * 1000L / 8000L)
+      assert(f.sum_abs == idx.map(sample(k, _)).sum)
+      assert(f.peak == idx.map(sample(k, _)).max)
+      assert(f.sum_sq == idx.map(i => sample(k, i) * sample(k, i)).sum)
+    }
+    // frame sums reconstruct the whole-clip stats (no sample lost or doubled)
+    val stats = Multimodal.audioStats(Multimodal.syntheticWav(spark, 6, 8000, 1600))
+      .collect().map(s => s.key -> s.sum_abs).toMap
+    for (k <- 0L until 6L)
+      assert((0 until 3).map(fi => frames((k, fi)).sum_abs).sum == stats(k))
+  }
+
+  test("audio frame-sampling: non-audio and malformed payloads yield no frames") {
+    import spark.implicits._
+    val mixed = Seq(
+      Multimodal.Media(1L, "image", Array[Byte](1, 2, 3)),
+      Multimodal.Media(2L, "audio", Array[Byte](9, 9, 9)), // not a WAV
+      Multimodal.Media(3L, "audio",
+        Multimodal.encodeWavPcm16(8000, Array[Short](5, -5, 7)))).toDS()
+    val got = Multimodal.audioFrames(mixed, 2).collect().sortBy(_.frame_idx)
+    assert(got.map(_.key).toSeq == Seq(3L, 3L))
+    assert(got(0).n == 2 && got(0).sum_abs == 10 && got(0).peak == 5 && got(0).sum_sq == 50)
+    assert(got(1).n == 1 && got(1).sum_abs == 7 && got(1).peak == 7 && got(1).sum_sq == 49)
+  }
 }
