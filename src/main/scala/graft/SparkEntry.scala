@@ -755,6 +755,25 @@ object SparkEntry {
         "src", "dst", iterations = 3, root = dir, table = "ranks")
     }),
 
+    // wave-committed orders survive rewrite-data-files byte-exactly: 4
+    // md5-bucketed resumable waves, then compact(2 files, sorted by
+    // o_orderkey) — the CURRENT read aggregates identically to DuckDB
+    // over the raw table (compact itself re-proves the row total against
+    // the manifest before flipping CURRENT)
+    "q105_snapshot_compact" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q105").toString
+      val wave = pmod(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long"), lit(4))
+      graft.snap.SnapshotCatalog.resumableRunBy(s, tbl(s, d, "orders"), wave, 4, root, "ords") {
+        df => df.select(col("o_orderkey"), col("o_custkey"))
+      }
+      graft.snap.SnapshotCatalog.compact(s, root, "ords",
+        targetFiles = 2, sortBy = Seq("o_orderkey"))
+      graft.snap.SnapshotCatalog.read(s, root, "ords")
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_key"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1553,6 +1572,13 @@ object SparkEntry {
     // q104: resumable = bit-identical to in-memory — one shared oracle
     // builder, 3 iterations
     "q104_pagerank_resumable" -> pageRankSql(3),
+
+    // q105: compaction preserves content exactly — the aggregate over the
+    // compacted CURRENT equals the raw table's
+    "q105_snapshot_compact" ->
+      ("SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_key " +
+        "FROM orders GROUP BY 1"),
 
     // q100: identical window census — 6-token window digests counted
     // corpus-wide, dup positions folded into covered-token counts with

@@ -298,6 +298,74 @@ object SnapshotCatalog {
     VacuumStats(mDel, lDel, dDel)
   }
 
+  /** What [[compact]] did. */
+  final case class CompactStats(dirsBefore: Int, filesBefore: Int, filesAfter: Int, rows: Long)
+
+  private[snap] def parquetFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally stream.close()
+    }
+
+  /**
+   * Small-file compaction — the Iceberg rewrite-data-files analogue, from
+   * scratch. A wave-committed table accumulates one data dir per commit;
+   * at 64 waves × shuffle-partition files each, every subsequent read
+   * pays per-file open/footer cost and the driver pays per-file planning
+   * — the canonical small-files problem at 100 TB. Compaction rewrites
+   * the CURRENT row set into ONE new immutable dir of `targetFiles`
+   * files and commits it as a new snapshot referencing only that dir,
+   * while history is preserved verbatim: `completedWaves` (the resume
+   * key — re-running a committed wave stays a no-op), `rowsPerWave`,
+   * lineage sidecars, and every older manifest (time travel to
+   * pre-compaction snapshots still reads the original files until a
+   * later [[vacuum]] expires them — which is when the old dirs' storage
+   * is actually reclaimed).
+   *
+   * With `sortBy`, rows are range-partitioned then sorted on those
+   * columns (Iceberg's sort-order rewrite): files carry disjoint min/max
+   * ranges, so predicate pushdown prunes whole files on read — the same
+   * layout win `operators/SpatialLayout` builds for cell ids.
+   *
+   * Crash-safe: data is fully written before the atomic CURRENT flip; a
+   * crash mid-write leaves an orphan `data/snap-*` dir that [[vacuum]]
+   * removes. Before the flip, rows are recounted from the written files
+   * (parquet footer metadata — no data scan) and must equal the
+   * manifest's committed total; a lost-row rewrite aborts loudly with
+   * CURRENT untouched. Not safe concurrently with a writer on the same
+   * table (same contract as [[vacuum]]).
+   */
+  def compact(spark: SparkSession, root: String, table: String,
+      targetFiles: Int, sortBy: Seq[String] = Nil): CompactStats = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
+    val m = currentManifest(root, table)
+      .getOrElse(throw new IllegalStateException(s"no CURRENT snapshot for $table"))
+    if (m.dataDirs.isEmpty) return CompactStats(0, 0, 0, 0L)
+    val dir = tableDir(root, table)
+    val filesBefore = m.dataDirs.map(d => parquetFiles(dir.resolve(d)).size).sum
+    val df = readManifest(spark, root, m)
+    val rewritten =
+      if (sortBy.nonEmpty) {
+        val cols = sortBy.map(col)
+        df.repartitionByRange(targetFiles, cols: _*).sortWithinPartitions(cols: _*)
+      } else df.repartition(targetFiles)
+    val snapId = m.snapshotId + 1
+    val dataDir = s"data/snap-$snapId"
+    val target = dir.resolve(dataDir)
+    rewritten.write.mode("overwrite").parquet(target.toString)
+    val rows = spark.read.parquet(target.toString).count()
+    val expected = m.rowsPerWave.values.sum
+    require(rows == expected,
+      s"compaction rewrote $rows rows but the manifest committed $expected " +
+        s"— aborting, CURRENT unchanged (is a concurrent writer active, or a data file missing?)")
+    commitManifest(root, table,
+      m.copy(snapshotId = snapId, parentId = m.snapshotId, dataDirs = Seq(dataDir)))
+    CompactStats(m.dataDirs.size, filesBefore, parquetFiles(target).size, rows)
+  }
+
   /**
    * Resumable wave-partitioned run — the north rule's checkpoint/resume.
    *

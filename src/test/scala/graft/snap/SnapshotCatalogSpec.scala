@@ -197,4 +197,84 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       m.copy(lineageFiles = Seq("lineage-0.json", "lineage-1.json")))
     assert(hist.map(_.wave).distinct.sorted == Seq(0, 1))
   }
+
+  // ----- compact (rewrite-data-files) -----
+
+  test("compact merges wave dirs into few files; rows, history, resume and time travel survive") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "tc")(
+      df => df.repartition(8).withColumn("out", col("v") * 3))
+    val rowsBefore = SnapshotCatalog.read(spark, root, "tc")
+      .collect().map(_.toSeq).toSet
+    val preId = SnapshotCatalog.currentSnapshotId(root, "tc").get
+    val mBefore = SnapshotCatalog.currentManifest(root, "tc").get
+    val stats = SnapshotCatalog.compact(spark, root, "tc", targetFiles = 2)
+    assert(stats.dirsBefore == 4 && stats.filesBefore >= 8)
+    assert(stats.filesAfter <= 2 && stats.rows == 1000)
+    val mAfter = SnapshotCatalog.currentManifest(root, "tc").get
+    assert(mAfter.snapshotId == preId + 1 && mAfter.parentId == preId)
+    assert(mAfter.dataDirs == Seq(s"data/snap-${preId + 1}"))
+    assert(mAfter.completedWaves == mBefore.completedWaves)
+    assert(mAfter.rowsPerWave == mBefore.rowsPerWave)
+    assert(mAfter.lineageFiles == mBefore.lineageFiles)
+    assert(SnapshotCatalog.read(spark, root, "tc")
+      .collect().map(_.toSeq).toSet == rowsBefore)
+    // time travel to the pre-compaction snapshot still reads the old files
+    assert(SnapshotCatalog.readAt(spark, root, "tc", preId).count() == 1000)
+    // resume key intact: a full rerun is still a no-op...
+    assert(SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "tc")(
+      df => df.repartition(8).withColumn("out", col("v") * 3)) == 0)
+    // ...and a genuinely new wave appends alongside the compacted dir
+    assert(SnapshotCatalog.commitWave(spark, input.limit(5), 9, root, "tc")(
+      df => df.withColumn("out", col("v") * 3)))
+    assert(SnapshotCatalog.read(spark, root, "tc").count() == 1005)
+    assert(SnapshotCatalog.currentManifest(root, "tc").get.dataDirs.size == 2)
+  }
+
+  test("sorted compaction writes range-disjoint files (file-pruning layout)") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "tsort")(
+      df => df)
+    val stats = SnapshotCatalog.compact(spark, root, "tsort",
+      targetFiles = 4, sortBy = Seq("id"))
+    assert(stats.filesAfter == 4 && stats.rows == 1000)
+    val m = SnapshotCatalog.currentManifest(root, "tsort").get
+    val files = SnapshotCatalog.parquetFiles(
+      java.nio.file.Paths.get(root, "tsort").resolve(m.dataDirs.head))
+    assert(files.size == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString).agg(min("id"), max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("vacuum after compaction reclaims the pre-compaction wave dirs") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 4, root, "tvac")(
+      df => df)
+    SnapshotCatalog.compact(spark, root, "tvac", targetFiles = 2)
+    val stats = SnapshotCatalog.vacuum(root, "tvac", keepLast = 1)
+    assert(stats.dataDirs == 4) // the four pre-compaction wave dirs
+    assert(SnapshotCatalog.read(spark, root, "tvac").count() == 1000)
+  }
+
+  test("compact aborts with CURRENT untouched when rows would be lost") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 2, root, "tbad")(
+      df => df)
+    val preId = SnapshotCatalog.currentSnapshotId(root, "tbad").get
+    val m = SnapshotCatalog.currentManifest(root, "tbad").get
+    // simulate storage damage: remove one committed data file
+    val victim = SnapshotCatalog.parquetFiles(
+      java.nio.file.Paths.get(root, "tbad").resolve(m.dataDirs.head)).head
+    Files.delete(victim)
+    val e = intercept[IllegalArgumentException](
+      SnapshotCatalog.compact(spark, root, "tbad", targetFiles = 1))
+    assert(e.getMessage.contains("aborting"))
+    assert(SnapshotCatalog.currentSnapshotId(root, "tbad").contains(preId))
+  }
 }
