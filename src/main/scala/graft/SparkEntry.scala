@@ -774,6 +774,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_key"))
     }),
 
+    // count–min frequency estimates for every distinct key: depth 3 ×
+    // width 64 sketch (narrower than the 50 distinct keys, so collisions
+    // — the interesting path — occur and both engines must agree on them)
+    "q106_cms_counts" -> ((s, d) => {
+      val vals = tbl(s, d, "orders")
+        .select((col("o_custkey") % 50).cast("string").as("v"))
+      val sk = Sketches.cmsSketch(vals, Nil, "v", depth = 3, width = 64)
+      Sketches.cmsEstimate(sk, vals.distinct(), "v", depth = 3, width = 64)
+        .select(col("v").cast("long").as("key"), col("est_count"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1579,6 +1590,22 @@ object SparkEntry {
       ("SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket, " +
         "CAST(count(*) AS BIGINT) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_key " +
         "FROM orders GROUP BY 1"),
+
+    // q106: DuckDB rebuilds the identical 3×64 counter table from the
+    // same md5-derived buckets and reads the same min-over-rows estimates
+    "q106_cms_counts" ->
+      ("""WITH vals AS (SELECT CAST(o_custkey % 50 AS VARCHAR) AS v FROM orders),
+         |sk AS (
+         |  SELECT t.h, CAST(('0x' || substr(md5(t.h || ':' || v), 1, 13)) AS BIGINT) % 64 AS bucket,
+         |    count(*) AS c
+         |  FROM vals, range(0, 3) t(h) GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT v FROM vals)
+         |SELECT CAST(p.v AS BIGINT) AS key,
+         |  CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est_count
+         |FROM probes p CROSS JOIN range(0, 3) t(h)
+         |LEFT JOIN sk ON sk.h = t.h
+         |  AND sk.bucket = CAST(('0x' || substr(md5(t.h || ':' || p.v), 1, 13)) AS BIGINT) % 64
+         |GROUP BY p.v""".stripMargin),
 
     // q100: identical window census — 6-token window digests counted
     // corpus-wide, dup positions folded into covered-token counts with

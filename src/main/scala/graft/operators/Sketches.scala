@@ -118,6 +118,79 @@ object Sketches {
     hashes.groupBy(groupCols.map(col): _*).agg(slots.as("__kmv"))
   }
 
+  // ======== Count–Min sketch (frequency) ==================================
+
+  /** Portable CMS bucket for hash row `i`: md5("i:" + value) → 52 bits →
+   * mod `width` (DuckDB: `('0x' || substr(md5(i || ':' || v), 1, 13))::BIGINT
+   * % width`). Row-index-prefixing the input gives `depth` pairwise
+   * independent-enough hash rows from the one portable hash. */
+  private def cmsBucket(i: Int, value: Column, width: Int): Column =
+    pmod(portableHash52(concat(lit(s"$i:"), value)), lit(width.toLong))
+
+  /**
+   * Count–Min sketch (Cormode & Muthukrishnan, "An improved data stream
+   * summary: the count-min sketch and its applications", J. Algorithms
+   * 2005) as a RELATION: per group, `depth` × `width` counters stored as
+   * rows (h, bucket, cnt) — at most depth·width rows per group no matter
+   * how many input rows fed it. Point-frequency estimates read
+   * min over h of the value's bucket counters: always ≥ the true count,
+   * over by ≤ ⌈e·N/width⌉ with probability 1−e^−depth (the paper's
+   * bound). The heavy-hitter screen at 100 TB: build per-source/per-day
+   * sketches map-side (one narrow groupBy), [[cmsMerge]] them by plain
+   * addition without rescanning, then [[cmsEstimate]] candidate keys
+   * against a sketch that broadcasts (depth·width rows), instead of
+   * shuffling a full per-key count of the corpus.
+   *
+   * Every counter is an exact long over portable md5-derived buckets, so
+   * the whole sketch — and every estimate — replays bit-identically in
+   * DuckDB (oracle q106). Spark's own `count_min_sketch` builtin exists
+   * but hashes with engine-private seeds; this one is cross-engine.
+   */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8] (got $depth)")
+    require(width >= 2 && width <= (1 << 20), s"width must be in [2, 2^20] (got $width)")
+    val pairs = array((0 until depth).map(i =>
+      struct(lit(i).as("h"), cmsBucket(i, col(valueCol), width).as("bucket"))): _*)
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ explode(pairs).as("__p"): _*)
+      .select(groupCols.map(col) :+ col("__p.h").as("h") :+ col("__p.bucket").as("bucket"): _*)
+      .groupBy((groupCols ++ Seq("h", "bucket")).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches to a COARSER grouping (empty = global) by plain
+   * counter addition — exact (counters are sums), any number of times.
+   * All inputs must share (depth, width). */
+  def cmsMerge(sketches: DataFrame, coarseGroupCols: Seq[String]): DataFrame =
+    sketches.groupBy((coarseGroupCols ++ Seq("h", "bucket")).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /**
+   * Point-frequency estimates for `probes` (one row per candidate value;
+   * duplicates collapse): min over the value's `depth` bucket counters,
+   * 0 when every bucket is empty. Output: probe group cols + `valueCol`
+   * + `est_count`. `depth`/`width` (and `groupCols`) must match the
+   * sketch's build parameters. The sketch side is depth·width rows per
+   * group — broadcast-sized by construction, so the join never shuffles
+   * the probe side.
+   */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int, width: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8] (got $depth)")
+    val pairs = array((0 until depth).map(i =>
+      struct(lit(i).as("h"), cmsBucket(i, col(valueCol), width).as("bucket"))): _*)
+    val p = probes
+      .select((groupCols :+ valueCol).map(col) :+ explode(pairs).as("__p"): _*)
+      .select((groupCols :+ valueCol).map(col) :+
+        col("__p.h").as("__ph") :+ col("__p.bucket").as("__pb"): _*)
+    val joinCond = groupCols.map(g => p(g) === sketch(g))
+      .foldLeft(p("__ph") === sketch("h") && p("__pb") === sketch("bucket"))(_ && _)
+    p.join(sketch, joinCond, "left")
+      .groupBy((groupCols :+ valueCol).map(p(_)): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Estimator columns from a sketch frame: group cols + distinct_hashes
    * + est_distinct (exact below k — the sketch IS the set then). */
   private def estimate(sketch: DataFrame, k: Int): DataFrame = {

@@ -105,4 +105,62 @@ class SketchesSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(got == vals.map(refHash))
   }
+
+  // ----- Count–Min sketch -----
+
+  /** Reference CMS on the driver: counters and min-over-rows estimates. */
+  private def refCms(values: Seq[String], depth: Int, width: Int): Map[String, Long] = {
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    for (v <- values; i <- 0 until depth)
+      counters((i, refHash(s"$i:$v") % width)) += 1
+    values.distinct.map { v =>
+      v -> (0 until depth).map(i => counters((i, refHash(s"$i:$v") % width))).min
+    }.toMap
+  }
+
+  private def cmsValues: Seq[String] =
+    (0 until 5000).map(i => s"k${i % 37}") // 37 distinct, skewless
+
+  test("CMS estimates dominate exact counts, and match the driver reference") {
+    val vals = cmsValues.toDF("v")
+    val exact = cmsValues.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    for ((depth, width) <- Seq((3, 16), (3, 256), (3, 1024), (1, 8))) {
+      val sk = Sketches.cmsSketch(vals, Nil, "v", depth, width)
+      // bounded size: at most depth * width counter rows, ever
+      assert(sk.count() <= depth.toLong * width)
+      val est = Sketches.cmsEstimate(sk, vals.distinct(), "v", depth, width)
+        .as[(String, Long)].collect().toMap
+      val ref = refCms(cmsValues, depth, width)
+      assert(est == ref, s"depth=$depth width=$width")
+      exact.foreach { case (v, n) => assert(est(v) >= n, s"underestimate of $v") }
+      // wide sketch (width >> distinct): estimates are exact — pinned
+      // deterministically for this fixture (at width 256, key k10 still
+      // collides in ALL 3 rows and honestly reads 270, so the exactness
+      // pin sits at 1024)
+      if (width == 1024) assert(est == exact)
+    }
+  }
+
+  test("CMS merge by addition equals the direct sketch over the union") {
+    val a = cmsValues.take(2000).toDF("v")
+    val b = cmsValues.drop(2000).toDF("v")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(a, Nil, "v", 3, 32)
+        .unionByName(Sketches.cmsSketch(b, Nil, "v", 3, 32)), Nil)
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = Sketches.cmsSketch(cmsValues.toDF("v"), Nil, "v", 3, 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct)
+  }
+
+  test("grouped CMS keeps groups independent; absent probes read 0 on empty buckets") {
+    val df2 = Seq(("s1", "x"), ("s1", "x"), ("s1", "y"), ("s2", "x")).toDF("src", "v")
+    val sk = Sketches.cmsSketch(df2, Seq("src"), "v", 3, 512)
+    val probes = Seq(("s1", "x"), ("s1", "z"), ("s2", "x"), ("s2", "y")).toDF("src", "v")
+    val est = Sketches.cmsEstimate(sk, probes, "v", 3, 512, Seq("src"))
+      .as[(String, String, Long)].collect().toSet
+    // width 512 >> 2 distinct: no collisions for this fixture, so the
+    // estimates are exact and the absent keys read 0
+    assert(est == Set(("s1", "x", 2L), ("s1", "z", 0L), ("s2", "x", 1L), ("s2", "y", 0L)))
+  }
 }
