@@ -785,6 +785,20 @@ object SparkEntry {
         .select(col("v").cast("long").as("key"), col("est_count"))
     }),
 
+    // incremental dedup: wave 0 bootstraps the corpus signature table
+    // from doc_id%3==0, wave 1 screens the rest against the committed
+    // survivors + smaller-keyed batch docs (agreement >= 4 of 8)
+    "q107_incremental_dedup" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q107").toString
+      val docs = tbl(s, d, "documents")
+      Dedup.incrementalMinhash(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, minAgree = 4, root, "sigs", 0)
+      Dedup.incrementalMinhash(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, minAgree = 4, root, "sigs", 1)
+        .select(col("doc_id"), col("is_dup").cast("int").as("is_dup"),
+          coalesce(col("dup_of"), lit(-1L)).cast("long").as("dup_of"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1590,6 +1604,35 @@ object SparkEntry {
       ("SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket, " +
         "CAST(count(*) AS BIGINT) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_key " +
         "FROM orders GROUP BY 1"),
+
+    // q107: DuckDB replays both waves closed-form — same signatures
+    // (q13's CTEs), same band candidates, same integer agreement rule;
+    // stage 0's survivors are the only corpus keys stage 1 may match
+    "q107_incremental_dedup" ->
+      s"""WITH sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+         |sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |mh AS (SELECT doc_id, j.h_idx,
+         |    min(substring(md5(s), CAST(j.h_idx*4 + 1 AS INTEGER), 4)) AS min_hash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h_idx) j GROUP BY doc_id, j.h_idx),
+         |bk AS (SELECT doc_id, h_idx // 2 AS band,
+         |  array_to_string(list_sort(list(lpad(h_idx::VARCHAR, 4, '0') || '=' || min_hash)), '|') AS band_key
+         |  FROM mh GROUP BY doc_id, h_idx // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |  AND a.doc_id <> b.doc_id),
+         |agree AS (SELECT c.ka, c.kb FROM cand c
+         |  JOIN mh a ON a.doc_id = c.ka JOIN mh b ON b.doc_id = c.kb AND b.h_idx = a.h_idx
+         |  WHERE a.min_hash = b.min_hash GROUP BY c.ka, c.kb HAVING count(*) >= 4),
+         |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+         |  AND doc_id NOT IN (SELECT ka FROM agree WHERE ka % 3 = 0 AND kb % 3 = 0 AND kb < ka)),
+         |batch AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+         |dup AS (SELECT g.ka, min(g.kb) AS dup_of FROM agree g JOIN batch ON g.ka = batch.doc_id
+         |  WHERE g.kb IN (SELECT doc_id FROM s0) OR (g.kb % 3 <> 0 AND g.kb < g.ka)
+         |  GROUP BY g.ka)
+         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE WHEN d.ka IS NULL THEN 0 ELSE 1 END AS INTEGER) AS is_dup,
+         |  CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+         |FROM batch b LEFT JOIN dup d ON b.doc_id = d.ka""".stripMargin,
 
     // q106: DuckDB rebuilds the identical 3×64 counter table from the
     // same md5-derived buckets and reads the same min-over-rows estimates

@@ -157,6 +157,15 @@ object Dedup {
       .select(col(key), col("x.h_idx").as("h_idx"), col("x.min_hash").as("min_hash"))
   }
 
+  /** LSH band keys (key, band, band_key) from a signature frame
+   * (key, h_idx, min_hash): hashes of each band concatenated in h_idx
+   * order — two keys agree on a band iff their band_keys are equal. */
+  private def bandKeysOf(sigs: DataFrame, key: String, rowsPerBand: Int): DataFrame =
+    sigs.withColumn("band", (col("h_idx") / rowsPerBand).cast("long"))
+      .groupBy(col(key), col("band"))
+      .agg(concat_ws("|", array_sort(collect_list(
+        concat(lpad(col("h_idx").cast("string"), 4, "0"), lit("="), col("min_hash"))))).as("band_key"))
+
   /**
    * MinHash-LSH candidate pairs verified by exact Jaccard.
    * bands × rowsPerBand = numHashes; a pair is a candidate iff it agrees
@@ -180,12 +189,7 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sets = shingleSets(df, key, text).persist()
     try {
-      val mh = minhashLongFromSets(sets, key, numHashes)
-        .withColumn("band", (col("h_idx") / rowsPerBand).cast("long"))
-      // band key: hashes of the band concatenated in h_idx order
-      val bandKeys = mh.groupBy(col(key), col("band"))
-        .agg(concat_ws("|", array_sort(collect_list(
-          concat(lpad(col("h_idx").cast("string"), 4, "0"), lit("="), col("min_hash"))))).as("band_key"))
+      val bandKeys = bandKeysOf(minhashLongFromSets(sets, key, numHashes), key, rowsPerBand)
       val a = bandKeys.select(col(key).as("key_a"), col("band"), col("band_key"))
       val b = bandKeys.select(col(key).as("key_b"), col("band"), col("band_key"))
       val cand = a.join(b, Seq("band", "band_key"))
@@ -202,6 +206,88 @@ object Dedup {
         .select("key_a", "key_b", "jaccard")
         .localCheckpoint(true)
     } finally sets.unpersist(false)
+  }
+
+  /**
+   * Incremental near-dup screen: dedup an arriving batch against an
+   * already-committed corpus WITHOUT rescanning corpus text — the
+   * production shape of web-crawl dedup, where each day's pages must be
+   * screened against months of history. The corpus is represented by its
+   * minhash SIGNATURE table (key, h_idx, min_hash — `numHashes` narrow
+   * rows per kept document, a tiny fraction of the text), committed as
+   * snapshot waves ([[graft.snap.SnapshotCatalog]]); each batch:
+   *
+   *  1. computes signatures for the NEW docs only (the only text scan);
+   *  2. finds candidates by LSH band equi-join of new keys vs the corpus
+   *     table and vs smaller-keyed docs of the same batch;
+   *  3. decides by signature agreement — a candidate is a duplicate when
+   *     ≥ `minAgree` of its `numHashes` minhashes equal the prior doc's
+   *     (the classic minhash Jaccard estimate m/n, kept integer-exact);
+   *  4. commits the SURVIVORS' signatures as wave `wave`, growing the
+   *     corpus table for the next batch.
+   *
+   * Decision contract (deterministic, order-free): a new doc is dropped
+   * iff it matches a doc already in the corpus table, or a SMALLER-KEYED
+   * doc of its own batch (whether or not that doc is itself dropped);
+   * `dup_of` reports the smallest matching prior key. Keys must be
+   * globally unique across the corpus and the batch, and ordered
+   * (retries re-derive identical decisions — the same wave re-commits as
+   * a no-op, so crash-and-rerun is exactly-once end to end).
+   *
+   * Scale shape: band join and agreement join are equi-joins on
+   * signature rows only (numHashes-bounded per doc); the corpus text is
+   * never reread, never shuffled, and the signature table compacts /
+   * vacuums like any snapshot table ([[graft.snap.SnapshotCatalog.compact]]).
+   *
+   * @return one row per new doc: (key, is_dup, dup_of nullable)
+   */
+  def incrementalMinhash(newDocs: DataFrame, key: String, text: String,
+      bands: Int, rowsPerBand: Int, minAgree: Int,
+      root: String, table: String, wave: Int): DataFrame = {
+    import graft.snap.SnapshotCatalog
+    val spark = newDocs.sparkSession
+    val numHashes = bands * rowsPerBand
+    require(minAgree >= 1 && minAgree <= numHashes,
+      s"minAgree must be in [1, numHashes=$numHashes] (got $minAgree)")
+    val newSigs = minhashLong(newDocs, key, text, numHashes).persist()
+    try {
+      val priorSigs = SnapshotCatalog.currentManifest(root, table)
+        .map(_ => SnapshotCatalog.read(spark, root, table))
+        .getOrElse(newSigs.limit(0))
+      val nb = bandKeysOf(newSigs, key, rowsPerBand)
+      val pb = bandKeysOf(priorSigs, key, rowsPerBand)
+        .select(col(key).as("__pkey"), col("band"), col("band_key"))
+      val nbAsPrior = nb.select(col(key).as("__pkey"), col("band"), col("band_key"))
+      // the corpus branch excludes self-pairs: on a crash-and-rerun of an
+      // already-committed wave, a doc's OWN signatures are in the table
+      // and would otherwise match it against itself
+      val cand = nb.join(pb, Seq("band", "band_key"))
+        .where(col("__pkey") =!= col(key))
+        .select(col(key), col("__pkey"))
+        .unionByName(nb.join(nbAsPrior, Seq("band", "band_key"))
+          .where(col("__pkey") < col(key))
+          .select(col(key), col("__pkey")))
+        .distinct()
+      // agreement count per candidate pair: equal min_hash at equal h_idx,
+      // priors drawn from the corpus table AND this batch's own signatures
+      val ns = newSigs.select(col(key), col("h_idx"), col("min_hash").as("__nh"))
+      val ps = priorSigs.unionByName(newSigs)
+        .select(col(key).as("__pkey"), col("h_idx"), col("min_hash").as("__ph"))
+      val dups = cand
+        .join(ns, Seq(key)).join(ps, Seq("__pkey", "h_idx"))
+        .where(col("__nh") === col("__ph"))
+        .groupBy(col(key), col("__pkey")).agg(count(lit(1)).as("__m"))
+        .where(col("__m") >= minAgree)
+        .groupBy(col(key)).agg(min(col("__pkey")).as("dup_of"))
+      val decisions = newDocs.select(col(key)).distinct()
+        .join(dups, Seq(key), "left")
+        .select(col(key), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+        .localCheckpoint(true) // decisions are final before the commit below
+      val survivors = decisions.where(!col("is_dup")).select(col(key))
+      SnapshotCatalog.commitWave(spark,
+        newSigs.join(survivors, Seq(key), "left_semi"), wave, root, table)(identity)
+      decisions
+    } finally newSigs.unpersist(false)
   }
 
   /** 16-bit SimHash from md5-derived per-token bit votes; portable to SQL

@@ -171,4 +171,70 @@ class DedupSpec extends AnyFunSuite {
     assert(spans(rows, m) == want)
     assert(want.values.exists(_._2 > 0), "fixture must contain duplicated spans")
   }
+
+  // ----- incrementalMinhash (batch-vs-committed-corpus screen) -----
+
+  private def decide(rows: Seq[(Long, String)], root: String, wave: Int,
+      minAgree: Int = 6): Map[Long, (Boolean, Option[Long])] =
+    Dedup.incrementalMinhash(rows.toDF("doc_id", "text"), "doc_id", "text",
+      bands = 4, rowsPerBand = 2, minAgree, root, "sigs", wave)
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("incremental screen: first wave self-dedups, later waves match the committed corpus only") {
+    import graft.snap.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark shuffles and parquet files"
+    // wave 0 (corpus bootstrap): 20 dups 10 (identical), 30 unique
+    val w0 = decide(Seq(10L -> textA, 20L -> textA, 30L -> textB), root, wave = 0)
+    assert(w0 == Map(10L -> (false, None), 20L -> (true, Some(10L)), 30L -> (false, None)))
+    // committed signatures: survivors only (10, 30), 8 rows each
+    val committed = SnapshotCatalog.read(spark, root, "sigs")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(committed == Map(10L -> 8L, 30L -> 8L))
+    // wave 1: 41 dups corpus doc 10; 45 unique; 47 dups 45 WITHIN the batch
+    val textC = "fresh unique prose mentioning neither foxes nor shuffles at all"
+    val w1 = decide(Seq(41L -> textA, 45L -> textC, 47L -> textC), root, wave = 1)
+    assert(w1 == Map(41L -> (true, Some(10L)), 45L -> (false, None), 47L -> (true, Some(45L))))
+    // the corpus table grew by the survivors of wave 1
+    val keys = SnapshotCatalog.read(spark, root, "sigs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(keys == Set(10L, 30L, 45L))
+    // idempotent: re-running wave 1 re-derives decisions, commits nothing
+    val snapBefore = SnapshotCatalog.currentSnapshotId(root, "sigs").get
+    assert(decide(Seq(41L -> textA, 45L -> textC, 47L -> textC), root, wave = 1) == w1)
+    assert(SnapshotCatalog.currentSnapshotId(root, "sigs").contains(snapBefore))
+  }
+
+  test("incremental screen: near-dup (not identical) text crosses the agreement threshold") {
+    val root = java.nio.file.Files.createTempDirectory("graft_inc2").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    decide(Seq(100L -> base), root, wave = 0)
+    // one word changed at the tail: most shingles (and so most minhashes)
+    // survive; a disjoint text matches nothing
+    val near = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val w1 = decide(Seq(200L -> near, 300L -> far), root, wave = 1, minAgree = 5)
+    assert(w1(200L) == (true, Some(100L)), s"near-dup not caught: $w1")
+    assert(w1(300L) == (false, None))
+  }
+
+  test("incremental screen equals the one-shot LSH decision on a single batch") {
+    // with an empty prior table, the screen's keep set must equal
+    // dropKeys over minhash pairs at the same effective setting when all
+    // matches are exact duplicates (agreement = 8/8 ⇔ jaccard 1.0)
+    val root = java.nio.file.Files.createTempDirectory("graft_inc3").toString
+    // per-group texts are fully disjoint (no shared shingles), so the
+    // 8/8-agreement estimate and jaccard-1.0 verification coincide
+    val rows = (0L until 40L).map(i =>
+      i -> (0 until 8).map(j => s"w${i % 25}x$j").mkString(" "))
+    val dec = decide(rows, root, wave = 0, minAgree = 8)
+    val kept = dec.collect { case (k, (false, _)) => k }.toSet
+    val pairs = Dedup.minhashLsh(rows.toDF("doc_id", "text"), "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 1.0)
+    val dropped = Dedup.dropKeys(pairs, "key_a", "key_b")
+      .select("drop_key").as[Long].collect().toSet
+    assert(kept == rows.map(_._1).toSet -- dropped)
+  }
 }
