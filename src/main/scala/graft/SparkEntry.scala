@@ -799,6 +799,14 @@ object SparkEntry {
           coalesce(col("dup_of"), lit(-1L)).cast("long").as("dup_of"))
     }),
 
+    // leakage-safe 8/1/1 split keyed on source (all docs of a source land
+    // in one split); census proves assignment + group-atomicity portably
+    "q108_split_leakage_safe" -> ((s, d) =>
+      Curation.splitByGroup(tbl(s, d, "documents"), "source",
+        Seq("train" -> 8L, "valid" -> 1L, "test" -> 1L), salt = "sp")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1633,6 +1641,20 @@ object SparkEntry {
          |  CAST(CASE WHEN d.ka IS NULL THEN 0 ELSE 1 END AS INTEGER) AS is_dup,
          |  CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
          |FROM batch b LEFT JOIN dup d ON b.doc_id = d.ka""".stripMargin,
+
+    // q108: same 52-bit hash, same exact integer bounds (8/10 and 9/10 of
+    // 2^52 computed inline — both < 2^63, no overflow)
+    "q108_split_leakage_safe" ->
+      ("""WITH a AS (SELECT source,
+         |  CASE WHEN CAST(('0x' || substr(md5(source || ':sp'), 1, 13)) AS BIGINT)
+         |         < (8 * 4503599627370496) // 10 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(source || ':sp'), 1, 13)) AS BIGINT)
+         |         < (9 * 4503599627370496) // 10 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM a GROUP BY split""".stripMargin),
 
     // q106: DuckDB rebuilds the identical 3×64 counter table from the
     // same md5-derived buckets and reads the same min-over-rows estimates

@@ -47,6 +47,49 @@ object Curation {
   def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
     df.where(hashKeep(col(keyCol), rate, salt))
 
+  /** Exact integer split bounds for [[splitByGroup]]: (name, lo, hi) with
+   * split i owning hash range [lo, hi) and hi_last = 2^52. Computed with
+   * BigInt (no float drift, no overflow) and exposed so oracles inline
+   * the identical literals. */
+  def splitBounds(splits: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights (got $splits)")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    val total = splits.map(_._2).sum
+    val his = splits.scanLeft(0L)(_ + _._2).tail
+      .map(c => (BigInt(c) * BigInt(Scale) / BigInt(total)).toLong)
+    splits.map(_._1).lazyZip(0L +: his.init).lazyZip(his).map((n, lo, hi) => (n, lo, hi))
+  }
+
+  /**
+   * Leakage-safe dataset split: assign every row to a named split
+   * (train/valid/test…) by hashing a GROUP key — the url host, the
+   * source domain — so ALL rows of a group land in the same split.
+   * Row-level random splits leak: near-duplicate pages from one site
+   * straddle train and eval and inflate benchmarks (the standard
+   * web-corpus failure); the group-level hash makes that impossible by
+   * construction. Deterministic per (group, salt): retries, re-runs and
+   * incremental additions preserve every existing assignment — rows
+   * added to a known group join its split; different salts give
+   * independent splits of the same corpus.
+   *
+   * Weights are exact integers: split i owns hash range
+   * [⌊cum_{i−1}·2^52/total⌋, ⌊cum_i·2^52/total⌋) over the portable
+   * 52-bit hash — no float drift, DuckDB-replayable (oracle q108).
+   *
+   * Scale: a literal CASE chain over one hash — stateless scan-side
+   * projection, no shuffle, no join, no state.
+   */
+  def splitByGroup(df: DataFrame, groupCol: String, splits: Seq[(String, Long)],
+      salt: String): DataFrame = {
+    val h = Sketches.portableHash52(concat(col(groupCol).cast("string"), lit(":" + salt)))
+    val bounds = splitBounds(splits)
+    val assign = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((n, _, hi), acc) => when(h < hi, n).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /**
    * Source mixing: per-`sourceCol` sampling rates (missing sources use
    * `defaultRate`). The rate map is configuration (pipeline mix weights),

@@ -180,4 +180,42 @@ class CurationSpec extends AnyFunSuite {
     // the only shared gram is "p q r" — present in all 3 bench docs, counted once
     assert(got == Map(1L -> 1L))
   }
+
+  // ----- splitByGroup (leakage-safe train/valid/test) -----
+
+  test("splitBounds: exact, contiguous, proportional integer ranges") {
+    val b = Curation.splitBounds(Seq("train" -> 8L, "valid" -> 1L, "test" -> 1L))
+    val scale = 1L << 52
+    assert(b.map(_._1) == Seq("train", "valid", "test"))
+    assert(b.head._2 == 0L && b.last._3 == scale)
+    b.sliding(2).foreach { case Seq((_, _, hi), (_, lo, _)) => assert(hi == lo); case _ => }
+    assert(b.head._3 == BigInt(8) * BigInt(scale) / 10)
+    assertThrows[IllegalArgumentException](Curation.splitBounds(Seq("a" -> 0L)))
+    assertThrows[IllegalArgumentException](Curation.splitBounds(Seq("a" -> 1L, "a" -> 1L)))
+  }
+
+  test("splitByGroup: every group lands in exactly one split, proportions hold, salt re-deals") {
+    val rows = (0 until 20000).map(i => (i.toLong, s"host${i % 400}"))
+    val df = rows.toDF("doc_id", "source")
+    val splits = Seq("train" -> 8L, "valid" -> 1L, "test" -> 1L)
+    val got = Curation.splitByGroup(df, "source", splits, "s1")
+      .select("source", "split").as[(String, String)].collect()
+    // leakage guard: one split per group, by construction and in fact
+    val perGroup = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(perGroup.values.forall(_.size == 1))
+    // proportions over 400 groups: train should hold the large majority
+    val groupSplit = perGroup.view.mapValues(_.head).toMap
+    val counts = groupSplit.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 280 && counts("train") < 360, counts.toString)
+    assert(counts.getOrElse("valid", 0) > 10 && counts.getOrElse("test", 0) > 10)
+    // stability: adding rows of KNOWN groups changes no existing assignment
+    val more = (0 until 500).map(i => (100000L + i, s"host${i % 400}")).toDF("doc_id", "source")
+    val again = Curation.splitByGroup(df.unionByName(more), "source", splits, "s1")
+      .select("source", "split").distinct().as[(String, String)].collect().toMap
+    assert(again == groupSplit)
+    // a different salt deals an independent split (some group moves)
+    val resalted = Curation.splitByGroup(df, "source", splits, "s2")
+      .select("source", "split").distinct().as[(String, String)].collect().toMap
+    assert(resalted != groupSplit)
+  }
 }
