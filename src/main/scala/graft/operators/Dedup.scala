@@ -269,10 +269,15 @@ object Dedup {
           .select(col(key), col("__pkey")))
         .distinct()
       // agreement count per candidate pair: equal min_hash at equal h_idx,
-      // priors drawn from the corpus table AND this batch's own signatures
+      // priors drawn from the corpus table AND this batch's own signatures.
+      // The prior side is semi-join-pruned to CANDIDATE keys first (the
+      // distinct-candidate frame is band-match-sized → broadcasts), so the
+      // (__pkey, h_idx) shuffle below carries |candidates|·numHashes rows,
+      // not the whole corpus signature table
       val ns = newSigs.select(col(key), col("h_idx"), col("min_hash").as("__nh"))
       val ps = priorSigs.unionByName(newSigs)
         .select(col(key).as("__pkey"), col("h_idx"), col("min_hash").as("__ph"))
+        .join(broadcast(cand.select("__pkey").distinct()), Seq("__pkey"), "left_semi")
       val dups = cand
         .join(ns, Seq(key)).join(ps, Seq("__pkey", "h_idx"))
         .where(col("__nh") === col("__ph"))
