@@ -807,6 +807,27 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))),
 
+    // robots.txt crawl gate: three per-host robots variants (md5-picked),
+    // four per-doc path variants — the full parse + longest-prefix
+    // precedence path decides fetchability per document
+    "q109_robots_gate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val v = pmod(Sketches.portableHash52(col("source")), lit(3))
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("txt",
+          when(v === 0, "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n")
+            .when(v === 1,
+              "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp\n")
+            .otherwise("# generic agent unrestricted\nUser-agent: googlebot\nDisallow: /\n"))
+      val rules = Urls.robotsRules(robots, "source", "txt")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"),
+          element_at(array(lit("/private/x"), lit("/private/pub/y"), lit("/tmp/z"), lit("/ok")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("url"))
+      Urls.robotsFilter(urls, "url", rules)
+        .select(col("doc_id"), col("fetchable").cast("int").as("fetchable"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -1655,6 +1676,19 @@ object SparkEntry {
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
          |FROM a GROUP BY split""".stripMargin),
+
+    // q109: closed-form RFC 9309 decision per (robots variant, path
+    // variant) — v0 blocks /private/ except the longer /private/pub/
+    // allow; v1's star group blocks /tmp; v2 has no star group
+    "q109_robots_gate" ->
+      ("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE
+         |    WHEN CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) % 3 = 0
+         |      AND doc_id % 4 = 0 THEN 0
+         |    WHEN CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) % 3 = 1
+         |      AND doc_id % 4 = 2 THEN 0
+         |    ELSE 1 END AS INTEGER) AS fetchable
+         |FROM documents""".stripMargin),
 
     // q106: DuckDB rebuilds the identical 3×64 counter table from the
     // same md5-derived buckets and reads the same min-over-rows estimates

@@ -71,4 +71,102 @@ object Urls {
     df.groupBy(canonical(col(url)).as("canonical_url"))
       .agg(count(lit(1)).as("n_raw"),
         countDistinct(col(url)).as("n_variants"))
+
+  // ======== robots.txt (RFC 9309) crawl gate ==============================
+
+  private def hostOf(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val rest = noFrag.substr(length(substring_index(noFrag, "://", 1)) + 4, length(noFrag))
+    lower(regexp_extract(rest, "^[^/?]*", 0))
+  }
+
+  private def pathOf(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val rest = noFrag.substr(length(substring_index(noFrag, "://", 1)) + 4, length(noFrag))
+    val hostPort = regexp_extract(rest, "^[^/?]*", 0)
+    val path0 = substring_index(rest.substr(length(hostPort) + 1, length(rest)), "?", 1)
+    when(path0 === "", lit("/")).otherwise(path0)
+  }
+
+  /**
+   * Parse per-host robots.txt into the wildcard group's prefix rules —
+   * the crawl politeness gate every Common-Crawl-style pipeline runs
+   * before fetch (and re-runs over stored robots snapshots when
+   * re-filtering an existing corpus).
+   *
+   * RFC 9309 semantics, scoped and documented:
+   *  - groups = consecutive `User-agent:` lines followed by their rules;
+   *    a rule belongs to a group iff one of the group's agents is `*`
+   *    (specific-agent groups are ignored — this engine crawls as the
+   *    generic agent); rules before any User-agent line belong to no
+   *    group and are dropped, as the RFC requires;
+   *  - `Allow:` / `Disallow:` values are PLAIN path prefixes; rules using
+   *    the RFC's optional `*` / `$` wildcards are excluded (out of
+   *    scope — callers needing them should pre-expand), and an empty
+   *    `Disallow:` (= no restriction) is dropped;
+   *  - `#` starts a comment; field names are case-insensitive; values
+   *    keep their case (paths are case-sensitive).
+   *
+   * Plan shape: split + posexplode of the robots text (row-local), one
+   * per-host window pass to assign directive lines to their group (robots
+   * files are KiB-sized, so per-host partitions are trivially small), an
+   * equi-semi-join against the `*` groups. Output: (host, path, allow).
+   */
+  def robotsRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(substring_index(col("raw"), "#", 1)))
+    val lw = lower(col("line"))
+    val classified = lines.select(col("host"), col("pos"), col("line"),
+      lw.startsWith("user-agent:").as("is_ua"),
+      when(lw.startsWith("user-agent:"), trim(expr("substring(line, 12)"))).as("ua"),
+      when(lw.startsWith("disallow:"), trim(expr("substring(line, 10)")))
+        .when(lw.startsWith("allow:"), trim(expr("substring(line, 7)"))).as("path"),
+      lw.startsWith("allow:").as("is_allow"))
+    val w = Window.partitionBy("host").orderBy("pos")
+    val withBlock = classified
+      .withColumn("new_block",
+        (col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("block",
+        sum(col("new_block")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val starBlocks = withBlock
+      .where(col("is_ua") && lower(col("ua")) === "*")
+      .select(col("host"), col("block")).distinct()
+    withBlock
+      .where(col("path").isNotNull && col("path") =!= "" &&
+        !col("path").contains("*") && !col("path").contains("$"))
+      .join(starBlocks, Seq("host", "block"), "left_semi")
+      .select(col("host"), col("path"), col("is_allow").as("allow"))
+      .distinct()
+  }
+
+  /**
+   * Fetchability decision for a URL table against [[robotsRules]] output:
+   * among the host's rules whose path is a prefix of the URL's path, the
+   * LONGEST wins; on a length tie, Allow wins; no matching rule (or no
+   * robots for the host) = fetchable — all per RFC 9309 §2.2.2.
+   *
+   * The decision is one equi-join on host (the prefix test is a
+   * post-join filter — never a cartesian) plus a max-of-struct aggregate:
+   * (len, allow) ordered lexicographically IS the RFC precedence, so the
+   * whole rule evaluation is a codegen'd max, no window, no sort. Hosts
+   * must match textually (lowercased, port included) between the URLs
+   * and the rules' host column.
+   */
+  def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val withHp = urls
+      .withColumn("__h", hostOf(col(urlCol)))
+      .withColumn("__p", pathOf(col(urlCol)))
+    val decisions = withHp.select(col("__h"), col("__p")).distinct()
+      .join(rules, col("__h") === rules("host") && col("__p").startsWith(rules("path")))
+      .groupBy(col("__h").as("__dh"), col("__p").as("__dp"))
+      .agg(max(struct(length(col("path")).as("l"), col("allow").cast("int").as("a"))).as("__best"))
+      .select(col("__dh"), col("__dp"), (col("__best.a") === 1).as("__fetch"))
+    withHp
+      .join(decisions, col("__h") === col("__dh") && col("__p") === col("__dp"), "left")
+      .withColumn("fetchable", coalesce(col("__fetch"), lit(true)))
+      .drop("__h", "__p", "__dh", "__dp", "__fetch")
+  }
 }

@@ -76,4 +76,72 @@ class UrlsSpec extends AnyFunSuite {
     assert(got("http://e.com/a") == ((4L, 3L)))
     assert(got("http://e.com/b") == ((1L, 1L)))
   }
+
+  // ----- robots.txt (RFC 9309) -----
+
+  private def rulesOf(robots: Seq[(String, String)]): Set[(String, String, Boolean)] =
+    Urls.robotsRules(robots.toDF("host", "txt"), "host", "txt")
+      .as[(String, String, Boolean)].collect().toSet
+
+  test("robotsRules: grouping, comments, case, shared ua blocks, wildcard/empty exclusion") {
+    val txt =
+      """# site robots
+        |Disallow: /orphan          # before any group: dropped per RFC
+        |User-agent: googlebot
+        |Disallow: /
+        |
+        |User-Agent: bingbot
+        |user-agent: *
+        |DISALLOW: /private/        # field names case-insensitive
+        |Allow: /private/pub/
+        |Disallow:                  # empty = no restriction: dropped
+        |Disallow: /tmp/*.log       # wildcard rule: out of scope, dropped
+        |Disallow: /cgi$            # $ rule: dropped
+        |
+        |User-agent: yandex
+        |Disallow: /only-yandex
+        |""".stripMargin
+    assert(rulesOf(Seq("e.com" -> txt)) == Set(
+      ("e.com", "/private/", false),
+      ("e.com", "/private/pub/", true)))
+    // a host whose only group is specific-agent yields no rules at all
+    assert(rulesOf(Seq("g.com" -> "User-agent: googlebot\nDisallow: /")) == Set.empty)
+  }
+
+  private def fetch(urls: Seq[String], robots: Seq[(String, String)]): Map[String, Boolean] = {
+    val rules = Urls.robotsRules(robots.toDF("host", "txt"), "host", "txt")
+    Urls.robotsFilter(urls.toDF("url"), "url", rules)
+      .select("url", "fetchable").as[(String, Boolean)].collect().toMap
+  }
+
+  test("robotsFilter: longest rule wins, allow wins ties, unknown hosts fetchable") {
+    val robots = Seq(
+      "a.com" -> "User-agent: *\nDisallow: /private/\nAllow: /private/pub/",
+      "b.com" -> "User-agent: *\nDisallow: /\n",
+      "t.com" -> "User-agent: *\nDisallow: /dir\nAllow: /dir") // tie: allow wins
+    val got = fetch(Seq(
+      "https://a.com/private/x",      // blocked by /private/
+      "https://a.com/private/pub/y",  // longer Allow overrides
+      "https://a.com/open",           // no matching rule
+      "https://A.COM/private/z#f",    // host case + fragment handled
+      "https://b.com/anything",       // Disallow: / blocks all
+      "https://b.com",                // empty path -> "/" -> blocked
+      "https://t.com/dir/page",       // equal-length rules: allow
+      "https://nowhere.com/x"),       // no robots at all
+      robots)
+    assert(got == Map(
+      "https://a.com/private/x" -> false,
+      "https://a.com/private/pub/y" -> true,
+      "https://a.com/open" -> true,
+      "https://A.COM/private/z#f" -> false,
+      "https://b.com/anything" -> false,
+      "https://b.com" -> false,
+      "https://t.com/dir/page" -> true,
+      "https://nowhere.com/x" -> true))
+    // the decision join is an equi-join on host, never a cartesian
+    val rules = Urls.robotsRules(robots.toDF("host", "txt"), "host", "txt")
+    val plan = Urls.robotsFilter(Seq("https://a.com/x").toDF("url"), "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
 }
