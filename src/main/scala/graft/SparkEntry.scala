@@ -999,6 +999,23 @@ object SparkEntry {
             .as("roundtrip_ok"))
     }),
 
+    // CDX-style index + random access: write plain segments, index them
+    // (offset/length/md5 per record), then materialize EVERY record via
+    // seek(offset)+readFully — seek_ok proves the range reads return the
+    // exact payload the index digested
+    "q110_warc_index_seek" -> ((s, d) => {
+      val pages = PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("url"), col("warc_ts"), col("html"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q110").toString
+      graft.sources.Warc.writePages(pages.repartition(4), dir, gzip = false)
+      val index = graft.sources.Warc.indexPages(s, dir)
+      graft.sources.Warc.readRecordsAt(index)
+        .select(col("url"), md5(col("html")).as("payload_md5"))
+        .join(index.select(col("url"), col("payload_md5").as("__im")), "url")
+        .select(col("url"), col("payload_md5"),
+          (col("payload_md5") === col("__im")).as("seek_ok"))
+    }),
+
     // payload-dialect inventory (list_languages analogue) — static
     // metadata, but the driver gate pins the surface's shape + content
     "q74_payload_dialects" -> ((s, d) => {
@@ -2168,6 +2185,13 @@ object SparkEntry {
     "q73_warc_roundtrip" ->
       (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS html_md5,
          |  length($HtmlSql)::BIGINT AS html_len, true AS roundtrip_ok
+         |FROM documents""".stripMargin),
+
+    // q110: the index digest and the seek-read digest must both equal the
+    // independent html derivation (q73's mirror); seek_ok is computed by
+    // ACTUALLY seeking, the oracle pins it true for every record
+    "q110_warc_index_seek" ->
+      (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS payload_md5, true AS seek_ok
          |FROM documents""".stripMargin),
 
     "q74_payload_dialects" ->

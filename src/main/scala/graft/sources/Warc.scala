@@ -69,10 +69,15 @@ object Warc {
     -1
   }
 
-  /** Total parser: every well-formed record in the segment, in order;
-   * malformed bytes are skipped to the next magic. */
-  def parseSegment(bytes: Array[Byte]): Seq[Record] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+  /** One well-formed record plus its byte position in the segment:
+   * `offset` = start of the "WARC/1.0" magic, `length` = header + payload
+   * bytes (enough for [[parseSegment]] to re-parse the slice alone). */
+  final case class SegmentEntry(record: Record, offset: Long, length: Long)
+
+  /** Total parser with positions: every well-formed record in the
+   * segment, in order; malformed bytes are skipped to the next magic. */
+  def parseSegmentEntries(bytes: Array[Byte]): Seq[SegmentEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SegmentEntry]
     var pos = indexOf(bytes, Magic, 0)
     while (pos >= 0) {
       var next = -1 // where to resume scanning if this record is malformed
@@ -92,8 +97,8 @@ object Warc {
         lenOk match {
           case Some(n) if bodyStart.toLong + n <= bytes.length =>
             val payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + n.toInt)
-            out += rec.copy(payload = payload)
             next = bodyStart + n.toInt
+            out += SegmentEntry(rec.copy(payload = payload), pos.toLong, (next - pos).toLong)
           case _ =>
             next = headerStart // malformed: rescan after this magic
         }
@@ -102,6 +107,11 @@ object Warc {
     }
     out.toSeq
   }
+
+  /** Total parser: every well-formed record in the segment, in order;
+   * malformed bytes are skipped to the next magic. */
+  def parseSegment(bytes: Array[Byte]): Seq[Record] =
+    parseSegmentEntries(bytes).map(_.record)
 
   /** Inflate a (possibly multi-member) gzip segment; None if the bytes
    * are not valid gzip — same skip-don't-throw contract as the parser. */
@@ -160,6 +170,113 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, raw) => segmentPages(path, raw) }
+      .toDF("url", "warc_ts", "html")
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /**
+   * CDX-style record index — the lookup structure Common Crawl publishes
+   * beside its segments so consumers can fetch ONE record out of 100 TB
+   * instead of scanning: one row per response record with its segment
+   * path, byte offset, length and a portable md5 payload digest (the
+   * digest column alone supports exact dedup and integrity audits
+   * without ever re-reading payloads). Offsets address the UNCOMPRESSED
+   * record stream; for `.warc.gz` segments that is the inflated stream
+   * (the reader inflates segment-at-a-time — record-level range requests
+   * into CC's per-record gzip members need compressed member offsets,
+   * out of scope and documented). Build cost = one segment-per-task scan,
+   * same as [[readPages]], but the OUTPUT is index-sized (no payloads
+   * shuffle or land anywhere).
+   */
+  def indexPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) =>
+        val seg = if (path.endsWith(".gz")) gunzip(raw).getOrElse(Array.empty[Byte]) else raw
+        parseSegmentEntries(seg).iterator
+          .filter(_.record.header("WARC-Type").contains("response"))
+          .flatMap { e =>
+            for {
+              uri <- e.record.header("WARC-Target-URI")
+              ts <- e.record.header("WARC-Date").flatMap(d =>
+                scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(d))).toOption)
+            } yield (uri, ts, path, e.offset, e.length, md5Hex(e.record.payload))
+          }
+      }
+      .toDF("url", "warc_ts", "segment", "offset", "length", "payload_md5")
+  }
+
+  /**
+   * Random access: materialize the records an [[indexPages]] subset
+   * points at, WITHOUT scanning the segments. Rows are routed to the
+   * executor holding their segment (repartition on segment path) and
+   * read in offset order: plain `.warc` segments are served by
+   * `seek(offset)` + `readFully(length)` through the Hadoop FileSystem
+   * (true range reads — on object storage these become ranged GETs);
+   * `.warc.gz` segments are inflated once per segment and sliced (the
+   * documented offset semantics above). Reading k records costs
+   * O(k · record) I/O for plain segments, not O(corpus).
+   */
+  def readRecordsAt(index: DataFrame): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    index.select(col("segment"), col("offset"), col("length"))
+      .repartition(col("segment"))
+      .sortWithinPartitions("segment", "offset")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curSeg: String = null
+        var stream: org.apache.hadoop.fs.FSDataInputStream = null
+        var inflated: Array[Byte] = null
+        def closeStream(): Unit =
+          if (stream != null) { stream.close(); stream = null }
+        val rows = it.flatMap { case (seg, off, len) =>
+          if (seg != curSeg) {
+            closeStream(); inflated = null; curSeg = seg
+            val p = new org.apache.hadoop.fs.Path(seg)
+            val fs = p.getFileSystem(confB.value.value)
+            if (seg.endsWith(".gz")) {
+              val raw = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+              val in = fs.open(p)
+              try in.readFully(0, raw) finally in.close()
+              inflated = gunzip(raw).getOrElse(Array.empty[Byte])
+            } else stream = fs.open(p)
+          }
+          val slice =
+            if (inflated != null) {
+              if (off + len <= inflated.length)
+                Some(java.util.Arrays.copyOfRange(inflated, off.toInt, (off + len).toInt))
+              else None
+            } else {
+              val buf = new Array[Byte](len.toInt)
+              stream.seek(off)
+              stream.readFully(buf, 0, len.toInt)
+              Some(buf)
+            }
+          slice.toSeq.flatMap(parseSegment(_).headOption).flatMap { r =>
+            for {
+              uri <- r.header("WARC-Target-URI")
+              ts <- r.header("WARC-Date").flatMap(d =>
+                scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(d))).toOption)
+            } yield (uri, ts, r.payload)
+          }
+        }
+        // close the final segment's stream once the iterator drains
+        new Iterator[(String, java.sql.Timestamp, Array[Byte])] {
+          def hasNext: Boolean = { val h = rows.hasNext; if (!h) closeStream(); h }
+          def next(): (String, java.sql.Timestamp, Array[Byte]) = rows.next()
+        }
+      }
       .toDF("url", "warc_ts", "html")
   }
 
