@@ -1016,6 +1016,22 @@ object SparkEntry {
           (col("payload_md5") === col("__im")).as("seek_ok"))
     }),
 
+    // HTTP envelope split over synthesized CC-style response payloads
+    // (status varies by doc, one header carries n_chars, body = text) —
+    // the builtins-only parse must recover all three pieces exactly
+    "q111_http_envelope" -> ((s, d) => {
+      val status = element_at(array(lit("200 OK"), lit("404 Not Found"), lit("301 Moved")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val payload = concat(lit("HTTP/1.1 "), status,
+        lit("\r\nContent-Type: text/html; charset=UTF-8\r\nX-Chars: "),
+        col("n_chars").cast("string"), lit("\r\n\r\n"), col("text"))
+      tbl(s, d, "documents").select(col("doc_id"), payload.as("p"))
+        .select(col("doc_id"),
+          graft.sources.Warc.httpStatus(col("p")).as("status"),
+          graft.sources.Warc.httpHeader(col("p"), "X-Chars").cast("long").as("x_chars"),
+          md5(graft.sources.Warc.httpBody(col("p"))).as("body_md5"))
+    }),
+
     // payload-dialect inventory (list_languages analogue) — static
     // metadata, but the driver gate pins the surface's shape + content
     "q74_payload_dialects" -> ((s, d) => {
@@ -2192,6 +2208,15 @@ object SparkEntry {
     // ACTUALLY seeking, the oracle pins it true for every record
     "q110_warc_index_seek" ->
       (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS payload_md5, true AS seek_ok
+         |FROM documents""".stripMargin),
+
+    // q111: the envelope is synthesized closed-form, so DuckDB derives
+    // each piece directly — status by doc_id, x_chars = n_chars, body =
+    // the raw text
+    "q111_http_envelope" ->
+      ("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS INTEGER) AS status,
+         |  CAST(n_chars AS BIGINT) AS x_chars, md5(text) AS body_md5
          |FROM documents""".stripMargin),
 
     "q74_payload_dialects" ->

@@ -173,6 +173,43 @@ object Warc {
       .toDF("url", "warc_ts", "html")
   }
 
+  // ======== HTTP response envelope (CC response-record payloads) ==========
+  //
+  // Real Common-Crawl response records carry "HTTP/1.1 200 OK\r\n
+  // <headers>\r\n\r\n<body>" payloads — splitting the envelope is the
+  // first processing step after the record walk. These are pure
+  // Column functions over codegen'd builtins (no UDF, scan-side, exact
+  // DuckDB mirrors for the oracle). STRING scope: callers cast the
+  // payload to string first; byte-exact bodies in non-UTF-8 charsets
+  // need a binary split and are out of scope (documented).
+
+  import org.apache.spark.sql.Column
+
+  /** Status code of an HTTP envelope; null when the payload has none. */
+  def httpStatus(payload: Column): Column =
+    when(payload.startsWith("HTTP/"),
+      regexp_extract(substring_index(payload, "\r\n", 1),
+        "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
+
+  /** Value of header `name` (case-insensitive name match; the returned
+   * value is lowercased and trimmed — fine for media types and
+   * directives, documented). Null when absent or no envelope. */
+  def httpHeader(payload: Column, name: String): Column = {
+    val block = concat(lit("\r\n"),
+      lower(substring_index(payload, "\r\n\r\n", 1)), lit("\r\n"))
+    val marker = "\r\n" + name.toLowerCase(java.util.Locale.ROOT) + ":"
+    val pos = instr(block, marker)
+    when(payload.startsWith("HTTP/") && payload.contains("\r\n\r\n") && pos > 0,
+      trim(substring_index(block.substr(pos + lit(marker.length), length(block)), "\r\n", 1)))
+  }
+
+  /** Body of an HTTP envelope; a payload with no envelope IS the body
+   * (pre-HTTP captures pass through unchanged). */
+  def httpBody(payload: Column): Column =
+    when(payload.startsWith("HTTP/") && payload.contains("\r\n\r\n"),
+      payload.substr(length(substring_index(payload, "\r\n\r\n", 1)) + 5, length(payload)))
+      .otherwise(payload)
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString

@@ -172,4 +172,31 @@ class WarcSpec extends AnyFunSuite {
       assert(got == want && got.nonEmpty, s"gz=$gz")
     }
   }
+
+  // ----- HTTP response envelope split -----
+
+  test("httpStatus/httpHeader/httpBody: envelope split, missing pieces, pass-through") {
+    val rows = Seq(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\nX-N: 7\r\n\r\n<html>a</html>",
+      "HTTP/1.0 404 Not Found\r\nServer: x\r\n\r\nmissing",
+      "HTTP/1.1 301 Moved\r\nLocation: /new\r\n\r\n",  // empty body
+      "<html>raw capture, no envelope</html>",          // pre-HTTP payload
+      "HTTP/1.1 200 OK\r\nbroken-no-blank-line")        // malformed envelope
+      .toDF("p")
+    val got = rows.select(
+      Warc.httpStatus(col("p")).as("st"),
+      Warc.httpHeader(col("p"), "Content-Type").as("ct"),
+      Warc.httpHeader(col("p"), "x-n").as("xn"),
+      Warc.httpBody(col("p")).as("body"))
+      .as[(Option[Int], Option[String], Option[String], String)].collect().toSeq
+    assert(got == Seq(
+      (Some(200), Some("text/html; charset=utf-8"), Some("7"), "<html>a</html>"),
+      (Some(404), None, None, "missing"),
+      (Some(301), None, None, ""),
+      (None, None, None, "<html>raw capture, no envelope</html>"),
+      (Some(200), None, None, "HTTP/1.1 200 OK\r\nbroken-no-blank-line")))
+    // a header NAME occurring only in the body is not a header
+    val sneaky = Seq("HTTP/1.1 200 OK\r\nA: 1\r\n\r\nx-n: 99").toDF("p")
+    assert(sneaky.select(Warc.httpHeader(col("p"), "x-n")).as[Option[String]].head().isEmpty)
+  }
 }
