@@ -1032,6 +1032,12 @@ object SparkEntry {
           md5(graft.sources.Warc.httpBody(col("p"))).as("body_md5"))
     }),
 
+    // DOM main-content extraction: the <p> must beat the h1/h2/anchor
+    // chrome on every page, with content_len = the escaped text's bytes
+    "q112_main_content" -> ((s, d) =>
+      graft.api.Engine.mainContent(PagesFromDocs(tbl(s, d, "documents")))
+        .select(col("url"), col("main_tag"), col("content_len"), col("anchor_len"))),
+
     // payload-dialect inventory (list_languages analogue) — static
     // metadata, but the driver gate pins the surface's shape + content
     "q74_payload_dialects" -> ((s, d) => {
@@ -2209,6 +2215,15 @@ object SparkEntry {
     "q110_warc_index_seek" ->
       (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS payload_md5, true AS seek_ok
          |FROM documents""".stripMargin),
+
+    // q112: the synthetic page's only block candidate is the <p> holding
+    // the escaped text (ASCII ⇒ chars = bytes); anchors/headers are
+    // chrome outside it
+    "q112_main_content" ->
+      (s"""SELECT $UrlSql AS url, 'p' AS main_tag,
+         |  CAST(length(replace(replace(text, '&', '&amp;'), '<', '&lt;')) AS BIGINT) AS content_len,
+         |  CAST(0 AS BIGINT) AS anchor_len
+         |FROM documents WHERE length(text) > 0""".stripMargin),
 
     // q111: the envelope is synthesized closed-form, so DuckDB derives
     // each piece directly — status by doc_id, x_chars = n_chars, body =

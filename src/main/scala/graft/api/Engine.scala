@@ -106,6 +106,62 @@ object Engine {
     pages.select(col("url"), extract_text_bytes(col("html")).as("text_bytes"),
       extract_text(col("html")).as("text"))
 
+  /** Block-level candidates for [[mainContent]] (body/html and headers
+   * are excluded on purpose — the page root always "wins" raw length,
+   * and headers are chrome, not content). */
+  val MainContentTags: Seq[String] =
+    Seq("p", "div", "article", "section", "main", "li", "td", "blockquote", "pre")
+
+  /**
+   * DOM-level main-content extraction — the readability/trafilatura
+   * primitive of web-corpus building: among block-level elements, pick
+   * the one whose contained text is longest AFTER subtracting anchor
+   * text (score = content_len − anchor_len), so navigation/link-farm
+   * containers lose to prose even when their raw text is longer. Ties
+   * break to the SMALLEST span (the most specific container: a `<p>`
+   * beats the `<div>` that holds only it), then to document order.
+   * Pages with no positive-scoring block yield no row.
+   *
+   * All lengths are BYTE lengths of text-node spans (no decode on the
+   * scoring path). Plan shape: one parse, then two per-url containment
+   * joins (equi-join on url + span range filter — url-bounded fan-out of
+   * nodes-per-page² worst case, never a cartesian across pages), one
+   * aggregation, one per-url top-1 window.
+   *
+   * @return (url, main_tag, start_byte, end_byte, content_len, anchor_len)
+   */
+  def mainContent(pages: DataFrame): DataFrame = {
+    val nd = nodes(pages)
+    val texts0 = nd.where(col("kind") === "text")
+      .select(col("url").as("turl"), col("start_byte").as("ts"), col("end_byte").as("te"))
+    val anchors = nd.where(col("kind") === "element" && col("name") === "a")
+      .select(col("url").as("aurl"), col("start_byte").as("as_"), col("end_byte").as("ae"))
+    val texts = texts0.join(anchors,
+        col("turl") === col("aurl") && col("ts") >= col("as_") && col("te") <= col("ae"),
+        "left")
+      .groupBy(col("turl"), col("ts"), col("te"))
+      .agg((count(col("as_")) > 0).as("in_anchor"))
+    val cands = nd
+      .where(col("kind") === "element" && col("name").isInCollection(MainContentTags))
+      .select(col("url").as("curl"), col("name"),
+        col("start_byte").as("cs"), col("end_byte").as("ce"))
+    val scored = cands.join(texts,
+        col("curl") === col("turl") && col("ts") >= col("cs") && col("te") <= col("ce"),
+        "left")
+      .groupBy(col("curl"), col("name"), col("cs"), col("ce"))
+      .agg(
+        coalesce(sum(when(!col("in_anchor"), col("te") - col("ts"))), lit(0L)).as("content_len"),
+        coalesce(sum(when(col("in_anchor"), col("te") - col("ts"))), lit(0L)).as("anchor_len"))
+      .withColumn("__score", col("content_len") - col("anchor_len"))
+    val w = Window.partitionBy("curl")
+      .orderBy(col("__score").desc, (col("ce") - col("cs")).asc, col("cs").asc)
+    scored.where(col("__score") > 0)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("curl").as("url"), col("name").as("main_tag"),
+        col("cs").as("start_byte"), col("ce").as("end_byte"),
+        col("content_len"), col("anchor_len"))
+  }
+
   // ---- structural queries (Q1-Q3, tools/search.py:139-349) --------------
 
   /** Run one or more named extraction specs over the corpus (run_query).

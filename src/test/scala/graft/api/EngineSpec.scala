@@ -247,4 +247,31 @@ class EngineSpec extends AnyFunSuite {
     assert(g.count() > 200) // >= 1 entity per page (meta duplicated by ICBM)
     assert(g.where(col("cell_id").isNull).count() == 0)
   }
+
+  test("mainContent: anchor penalty beats nav, ties go to the tightest block, chromeless pages drop") {
+    def mk(url: String, html: String) =
+      (url, new java.sql.Timestamp(0L), html.getBytes("UTF-8"), "en", "t", "s")
+    val prose = "real article prose with plenty of ordinary words in it"
+    val df = Seq(
+      // nav div has MORE raw text than the article p, but it is all links
+      mk("u1", "<html><body>" +
+        "<div><a href=\"/a\">navigation item one</a><a href=\"/b\">navigation item two</a>" +
+        "<a href=\"/c\">navigation item three xxxx</a></div>" +
+        s"<div><p>$prose</p></div></body></html>"),
+      // tie between the wrapper div and its only p: the p (smaller span) wins
+      mk("u2", s"<html><body><div><p>$prose</p></div></body></html>"),
+      // no block-level candidate at all -> no row
+      mk("u3", "<html><body><h1>only chrome</h1></body></html>"))
+      .toDF("url", "warc_ts", "html", "lang", "title", "source")
+    val got = Engine.mainContent(df).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set("u1", "u2"))
+    assert(got("u1") == (("p", prose.length.toLong, 0L)), got.toString)
+    assert(got("u2")._1 == "p")
+    // a link-only page: the nav div scores <= 0 and is dropped
+    val navOnly = Seq(mk("u4",
+      "<html><body><div><a href=\"/x\">l</a></div></body></html>"))
+      .toDF("url", "warc_ts", "html", "lang", "title", "source")
+    assert(Engine.mainContent(navOnly).count() == 0)
+  }
 }
