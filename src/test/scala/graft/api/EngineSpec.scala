@@ -273,5 +273,9 @@ class EngineSpec extends AnyFunSuite {
       "<html><body><div><a href=\"/x\">l</a></div></body></html>"))
       .toDF("url", "warc_ts", "html", "lang", "title", "source")
     assert(Engine.mainContent(navOnly).count() == 0)
+    // containment joins are url-equi-joins — never a cross-page cartesian
+    val plan = Engine.mainContent(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(400))
   }
 }
