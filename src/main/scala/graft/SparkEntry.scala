@@ -828,6 +828,21 @@ object SparkEntry {
         .select(col("doc_id"), col("fetchable").cast("int").as("fetchable"))
     }),
 
+    // per-host politeness budget: Crawl-delay from the q109 robots
+    // variants (v0 gets 2s, v1's star group 1.5s, v2 has no star group)
+    "q113_crawl_delay" -> ((s, d) => {
+      val v = pmod(Sketches.portableHash52(col("source")), lit(3))
+      val robots = tbl(s, d, "documents").select(col("source")).distinct()
+        .withColumn("txt",
+          when(v === 0,
+            "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\nAllow: /private/pub/\n")
+            .when(v === 1,
+              "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nCrawl-delay: 1.5\nDisallow: /tmp\n")
+            .otherwise("User-agent: googlebot\nCrawl-delay: 9\nDisallow: /\n"))
+      Urls.robotsCrawlDelay(robots, "source", "txt")
+        .select(col("host"), col("crawl_delay"))
+    }),
+
     "q24_knn" -> ((s, d) =>
       Knn(customerPoints(s, d), "c_custkey", "lat", "lon",
         nationPolygons(s, d).select(col("n_nationkey"), col("cy"), col("cx")),
@@ -2215,6 +2230,15 @@ object SparkEntry {
     "q110_warc_index_seek" ->
       (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS payload_md5, true AS seek_ok
          |FROM documents""".stripMargin),
+
+    // q113: closed-form per-variant delays; v2's googlebot-only delay
+    // never surfaces (exact binary fractions, portable doubles)
+    "q113_crawl_delay" ->
+      ("""SELECT source AS host,
+         |  CASE WHEN CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) % 3 = 0
+         |    THEN 2.0 ELSE 1.5 END AS crawl_delay
+         |FROM (SELECT DISTINCT source FROM documents)
+         |WHERE CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) % 3 < 2""".stripMargin),
 
     // q112: the synthetic page's only block candidate is the <p> holding
     // the escaped text (ASCII ⇒ chars = bytes); anchors/headers are

@@ -113,6 +113,18 @@ object Urls {
    * equi-semi-join against the `*` groups. Output: (host, path, allow).
    */
   def robotsRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val withBlock = robotsBlocks(robots, hostCol, textCol)
+    withBlock
+      .where(col("path").isNotNull && col("path") =!= "" &&
+        !col("path").contains("*") && !col("path").contains("$"))
+      .join(starBlocksOf(withBlock), Seq("host", "block"), "left_semi")
+      .select(col("host"), col("path"), col("is_allow").as("allow"))
+      .distinct()
+  }
+
+  /** Classified robots lines with their group id (shared by
+   * [[robotsRules]] and [[robotsCrawlDelay]]). */
+  private def robotsBlocks(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots
       .select(col(hostCol).as("host"),
@@ -124,22 +136,36 @@ object Urls {
       when(lw.startsWith("user-agent:"), trim(expr("substring(line, 12)"))).as("ua"),
       when(lw.startsWith("disallow:"), trim(expr("substring(line, 10)")))
         .when(lw.startsWith("allow:"), trim(expr("substring(line, 7)"))).as("path"),
-      lw.startsWith("allow:").as("is_allow"))
+      lw.startsWith("allow:").as("is_allow"),
+      when(lw.startsWith("crawl-delay:"), trim(expr("substring(line, 13)"))).as("delay"))
     val w = Window.partitionBy("host").orderBy("pos")
-    val withBlock = classified
+    classified
       .withColumn("new_block",
         (col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false))).cast("int"))
       .withColumn("block",
         sum(col("new_block")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val starBlocks = withBlock
-      .where(col("is_ua") && lower(col("ua")) === "*")
+  }
+
+  private def starBlocksOf(withBlock: DataFrame): DataFrame =
+    withBlock.where(col("is_ua") && lower(col("ua")) === "*")
       .select(col("host"), col("block")).distinct()
+
+  /**
+   * Per-host `Crawl-delay` from the wildcard group (the de-facto
+   * politeness extension honored by Bing/Yandex): seconds as DOUBLE
+   * (fractional delays occur in the wild); the FIRST parseable value in
+   * a `*` group wins; hosts with none (or no `*` group) emit no row —
+   * join `left` and coalesce to the crawler's default. Output:
+   * (host, crawl_delay).
+   */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val withBlock = robotsBlocks(robots, hostCol, textCol)
     withBlock
-      .where(col("path").isNotNull && col("path") =!= "" &&
-        !col("path").contains("*") && !col("path").contains("$"))
-      .join(starBlocks, Seq("host", "block"), "left_semi")
-      .select(col("host"), col("path"), col("is_allow").as("allow"))
-      .distinct()
+      .where(col("delay").isNotNull && col("delay").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(starBlocksOf(withBlock), Seq("host", "block"), "left_semi")
+      .groupBy(col("host"))
+      .agg(min(struct(col("pos"), col("delay").cast("double").as("d"))).as("__first"))
+      .select(col("host"), col("__first.d").as("crawl_delay"))
   }
 
   /**

@@ -144,4 +144,15 @@ class UrlsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
+
+  test("robotsCrawlDelay: star-group only, first parseable value, fractional, absent hosts drop") {
+    val robots = Seq(
+      "a.com" -> "User-agent: *\nCrawl-Delay: 2\nDisallow: /x\nCrawl-delay: 9",
+      "b.com" -> "User-agent: googlebot\nCrawl-delay: 5\n\nUser-agent: *\ncrawl-delay: 1.5",
+      "c.com" -> "User-agent: googlebot\nCrawl-delay: 5",      // no * group
+      "d.com" -> "User-agent: *\nCrawl-delay: soon\nDisallow: /") // unparseable value
+    val got = Urls.robotsCrawlDelay(robots.toDF("host", "txt"), "host", "txt")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a.com" -> 2.0, "b.com" -> 1.5))
+  }
 }
