@@ -828,6 +828,24 @@ object SparkEntry {
         .select(col("doc_id"), col("fetchable").cast("int").as("fetchable"))
     }),
 
+    // revisit collapse: two captures per page (the newer under a
+    // tracking-param variant url, content changed on odd docs) — keep the
+    // newest, count captures, flag real content change
+    "q114_latest_capture" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val base = concat(lit("https://"), col("source"), lit("/d/"), col("doc_id"))
+      val a = docs.select(base.as("url"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+        col("text").as("content"))
+      val b = docs.select(concat(base, lit("?utm_source=x")).as("url"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 01:00:00")).as("ts"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit("!v2"))).as("content"))
+      Urls.latestCapture(a.unionByName(b), "url", "ts", "content")
+        .select(col("canonical_url"), col("n_captures"),
+          col("changed").cast("int").as("changed"), md5(col("content")).as("content_md5"))
+    }),
+
     // per-host politeness budget: Crawl-delay from the q109 robots
     // variants (v0 gets 2s, v1's star group 1.5s, v2 has no star group)
     "q113_crawl_delay" -> ((s, d) => {
@@ -2229,6 +2247,15 @@ object SparkEntry {
     // ACTUALLY seeking, the oracle pins it true for every record
     "q110_warc_index_seek" ->
       (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS payload_md5, true AS seek_ok
+         |FROM documents""".stripMargin),
+
+    // q114: the newer capture always wins and its content is closed-form
+    // per doc parity; the tracking-param variant collapses canonically
+    "q114_latest_capture" ->
+      ("""SELECT 'https://' || source || '/d/' || doc_id::VARCHAR AS canonical_url,
+         |  CAST(2 AS BIGINT) AS n_captures,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER) AS changed,
+         |  md5(CASE WHEN doc_id % 2 = 0 THEN text ELSE text || '!v2' END) AS content_md5
          |FROM documents""".stripMargin),
 
     // q113: closed-form per-variant delays; v2's googlebot-only delay

@@ -72,6 +72,33 @@ object Urls {
       .agg(count(lit(1)).as("n_raw"),
         countDistinct(col(url)).as("n_variants"))
 
+  /**
+   * Revisit handling — crawls re-fetch pages, so a raw capture table
+   * holds many rows per page; corpora keep ONE. Per canonical URL
+   * ([[canonical]] collapses tracking/fragment/case variants first):
+   * keep the LATEST capture (ties break to the lexicographically largest
+   * raw url — deterministic), and report `n_captures` plus `changed` =
+   * whether any capture's content differed from any other's
+   * (distinct xxhash64 of the content > 1) — the freshness/volatility
+   * signal revisit policies feed on.
+   *
+   * One groupBy(canonical_url) with a max-of-struct argmax — no window,
+   * no self-join; content bytes ride the shuffle once (the argmax struct
+   * carries them — at 100 TB prefer passing a digest/pointer column as
+   * `contentCol` and re-joining payloads, same contract).
+   */
+  def latestCapture(df: DataFrame, urlCol: String, tsCol: String,
+      contentCol: String): DataFrame =
+    df.groupBy(canonical(col(urlCol)).as("canonical_url"))
+      .agg(
+        max(struct(col(tsCol).as("ts"), col(urlCol).as("u"),
+          col(contentCol).as("c"))).as("__best"),
+        count(lit(1)).as("n_captures"),
+        (countDistinct(xxhash64(col(contentCol))) > 1).as("changed"))
+      .select(col("canonical_url"), col("__best.ts").as(tsCol),
+        col("__best.u").as(urlCol), col("__best.c").as(contentCol),
+        col("n_captures"), col("changed"))
+
   // ======== robots.txt (RFC 9309) crawl gate ==============================
 
   private def hostOf(url: Column): Column = {

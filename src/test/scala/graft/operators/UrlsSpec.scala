@@ -155,4 +155,26 @@ class UrlsSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(got == Map("a.com" -> 2.0, "b.com" -> 1.5))
   }
+
+  test("latestCapture: variants collapse, newest wins, change flag tracks content not urls") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val caps = Seq(
+      // one page, three captures under url variants; content changed once
+      ("https://E.com/a?utm_source=t", ts(1), "v1"),
+      ("https://e.com/a", ts(2), "v2"),
+      ("https://e.com/a#frag", ts(3), "v2"),
+      // stable page: two captures, same bytes -> not changed
+      ("https://e.com/b", ts(1), "same"),
+      ("https://e.com/b?utm_medium=m", ts(2), "same"),
+      // single capture
+      ("https://e.com/c", ts(1), "only")).toDF("url", "ts", "content")
+    val got = Urls.latestCapture(caps, "url", "ts", "content")
+      .select("canonical_url", "ts", "content", "n_captures", "changed")
+      .as[(String, java.sql.Timestamp, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "https://e.com/a" -> ((ts(3), "v2", 3L, true)),
+      "https://e.com/b" -> ((ts(2), "same", 2L, false)),
+      "https://e.com/c" -> ((ts(1), "only", 1L, false))))
+  }
 }
