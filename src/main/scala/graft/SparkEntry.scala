@@ -828,6 +828,19 @@ object SparkEntry {
         .select(col("doc_id"), col("fetchable").cast("int").as("fetchable"))
     }),
 
+    // sitemap discovery: one synthesized sitemap per source listing its
+    // docs (order-nondeterministic entry concat is fine — the oracle
+    // compares the PARSED row set) — the parse must recover every entry
+    "q115_sitemap_urls" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val entry = concat(lit("<url><loc>https://"), col("source"), lit("/d/"), col("doc_id"),
+        lit("</loc><lastmod>2026-01-0"), col("doc_id") % 3 + 1, lit("</lastmod></url>"))
+      val sitemaps = docs.groupBy(col("source"))
+        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(entry)),
+          lit("</urlset>")).as("xml"))
+      graft.api.Engine.sitemapUrls(sitemaps, "source", "xml")
+    }),
+
     // revisit collapse: two captures per page (the newer under a
     // tracking-param variant url, content changed on odd docs) — keep the
     // newest, count captures, flag real content change
@@ -2247,6 +2260,14 @@ object SparkEntry {
     // ACTUALLY seeking, the oracle pins it true for every record
     "q110_warc_index_seek" ->
       (s"""SELECT $UrlSql AS url, md5($HtmlSql) AS payload_md5, true AS seek_ok
+         |FROM documents""".stripMargin),
+
+    // q115: one row per doc, derived directly — the parse must invert
+    // the synthesis exactly
+    "q115_sitemap_urls" ->
+      ("""SELECT source AS host,
+         |  'https://' || source || '/d/' || doc_id::VARCHAR AS loc_url,
+         |  '2026-01-0' || (doc_id % 3 + 1)::VARCHAR AS lastmod
          |FROM documents""".stripMargin),
 
     // q114: the newer capture always wins and its content is closed-form

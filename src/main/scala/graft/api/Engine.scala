@@ -106,6 +106,55 @@ object Engine {
     pages.select(col("url"), extract_text_bytes(col("html")).as("text_bytes"),
       extract_text(col("html")).as("text"))
 
+  /**
+   * Sitemap URL discovery — the other crawl front-door input besides
+   * robots.txt: parse sitemap XML documents and emit one row per
+   * `<loc>` entry (plus its optional sibling `<lastmod>`, null when
+   * absent). The existing HTML parser handles the XML subset sitemaps
+   * use (plain nested elements + text); `<?xml?>` prologs and unknown
+   * tags pass through as ignorable nodes.
+   *
+   * Input: one sitemap document per row (host column + xml string or
+   * binary column). Plan shape: one parse per document (generator),
+   * then per-document equi-joins of text nodes onto their `loc`/`lastmod`
+   * parents keyed by a content-derived row id — map-side work bounded by
+   * entries-per-sitemap, no cross-document joins.
+   *
+   * @return (host, loc_url, lastmod nullable)
+   */
+  def sitemapUrls(sitemaps: DataFrame, hostCol: String, xmlCol: String): DataFrame = {
+    val nodeCols = Seq("node_id", "parent_id", "depth", "kind", "name", "attrs",
+      "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
+      "path", "children_count")
+    val nd = sitemaps
+      .select(col(hostCol).as("host"), col(xmlCol).cast("binary").as("__xb"))
+      .withColumn("__rid", xxhash64(col("host"), col("__xb")))
+      .select(col("host"), col("__rid"), col("__xb"),
+        parse_html_nodes(col("__xb")).as(nodeCols))
+    // per <url> entry: its loc element id and (optional) lastmod id
+    val entries = nd.where(col("kind") === "element" &&
+        (col("name") === "loc" || col("name") === "lastmod"))
+      .groupBy(col("__rid").as("erid"), col("parent_id").as("entry_id"))
+      .agg(
+        min(when(col("name") === "loc", col("node_id"))).as("loc_id"),
+        min(when(col("name") === "lastmod", col("node_id"))).as("lastmod_id"))
+      .where(col("loc_id").isNotNull)
+    val texts = nd.where(col("kind") === "text")
+      .select(col("__rid"), col("host"), col("parent_id"),
+        trim(utf8_decode_replace(
+          expr("substring(__xb, start_byte + 1, end_byte - start_byte)"))).as("__t"))
+    val locs = texts.join(entries,
+        col("__rid") === col("erid") && col("parent_id") === col("loc_id"))
+      .select(col("__rid").as("r1"), col("entry_id").as("e1"),
+        col("host"), col("__t").as("loc_url"))
+    val mods = texts.join(entries,
+        col("__rid") === col("erid") && col("parent_id") === col("lastmod_id"))
+      .select(col("__rid").as("r2"), col("entry_id").as("e2"), col("__t").as("lastmod"))
+    locs.join(mods, col("r1") === col("r2") && col("e1") === col("e2"), "left")
+      .where(col("loc_url") =!= "")
+      .select(col("host"), col("loc_url"), col("lastmod"))
+  }
+
   /** Block-level candidates for [[mainContent]] (body/html and headers
    * are excluded on purpose — the page root always "wins" raw length,
    * and headers are chrome, not content). */

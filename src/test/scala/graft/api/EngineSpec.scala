@@ -278,4 +278,20 @@ class EngineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(400))
   }
+
+  test("sitemapUrls: loc entries with optional lastmod, prolog tolerated, per-document isolation") {
+    val sm1 = """<?xml version="1.0"?><urlset>
+      |<url><loc>https://a.com/1</loc><lastmod>2026-01-02</lastmod></url>
+      |<url><loc> https://a.com/2 </loc></url>
+      |<url><lastmod>2026-01-03</lastmod></url>
+      |</urlset>""".stripMargin
+    val sm2 = "<urlset><url><loc>https://b.com/x</loc></url></urlset>"
+    val got = Engine.sitemapUrls(
+        Seq(("a.com", sm1), ("b.com", sm2)).toDF("host", "xml"), "host", "xml")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("a.com", "https://a.com/1", Some("2026-01-02")),
+      ("a.com", "https://a.com/2", None),          // loc trimmed, no lastmod
+      ("b.com", "https://b.com/x", None)))         // entries never cross documents
+  }
 }
