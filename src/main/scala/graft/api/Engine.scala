@@ -120,6 +120,16 @@ object Engine {
    * parents keyed by a content-derived row id — map-side work bounded by
    * entries-per-sitemap, no cross-document joins.
    *
+   * The per-document join key is `xxhash64(host, xml)`, so the input is
+   * deduplicated on (host, xml) first — two byte-identical sitemap rows
+   * would otherwise share a row id and cross-multiply the text×entry
+   * joins (4 rows per entry instead of 2). The dedup is semantically a
+   * no-op: identical sitemap bytes yield identical entries. Remaining
+   * precondition (documented, not checked): DISTINCT (host, xml) pairs
+   * must not collide in 64 bits — at 10^9 sitemaps the collision odds
+   * are ~10^-2 per corpus and a collision only mixes two documents'
+   * entry joins, it never drops rows.
+   *
    * @return (host, loc_url, lastmod nullable)
    */
   def sitemapUrls(sitemaps: DataFrame, hostCol: String, xmlCol: String): DataFrame = {
@@ -128,6 +138,7 @@ object Engine {
       "path", "children_count")
     val nd = sitemaps
       .select(col(hostCol).as("host"), col(xmlCol).cast("binary").as("__xb"))
+      .distinct()
       .withColumn("__rid", xxhash64(col("host"), col("__xb")))
       .select(col("host"), col("__rid"), col("__xb"),
         parse_html_nodes(col("__xb")).as(nodeCols))

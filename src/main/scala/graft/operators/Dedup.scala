@@ -275,9 +275,24 @@ object Dedup {
       // (__pkey, h_idx) shuffle below carries |candidates|·numHashes rows,
       // not the whole corpus signature table
       val ns = newSigs.select(col(key), col("h_idx"), col("min_hash").as("__nh"))
-      val ps = priorSigs.unionByName(newSigs)
+      // On a crash-and-rerun of an already-committed wave the corpus table
+      // ALREADY holds this batch's survivors: keep exactly one signature
+      // copy per key (the batch's — byte-identical to the committed one,
+      // signatures are deterministic) by anti-joining the batch's keys out
+      // of the prior side. Without this the per-pair agreement count __m
+      // double-counts every hash match against a committed batch survivor,
+      // so a pair truly agreeing on only ceil(minAgree/2) hashes reads
+      // >= minAgree on the rerun — decisions would differ from the
+      // original run, breaking the exactly-once contract (proved
+      // rerun-identical in DedupSpec's "rerun near the agreement
+      // threshold" test). Both prunes are broadcast-sized: candidates are
+      // band-match-bounded, batch keys are one wave.
+      val candKeys = cand.select("__pkey").distinct()
+      val ps = priorSigs
+        .join(broadcast(newSigs.select(col(key)).distinct()), Seq(key), "left_anti")
+        .unionByName(newSigs)
         .select(col(key).as("__pkey"), col("h_idx"), col("min_hash").as("__ph"))
-        .join(broadcast(cand.select("__pkey").distinct()), Seq("__pkey"), "left_semi")
+        .join(broadcast(candKeys), Seq("__pkey"), "left_semi")
       val dups = cand
         .join(ns, Seq(key)).join(ps, Seq("__pkey", "h_idx"))
         .where(col("__nh") === col("__ph"))

@@ -283,10 +283,24 @@ object Warc {
             val p = new org.apache.hadoop.fs.Path(seg)
             val fs = p.getFileSystem(confB.value.value)
             if (seg.endsWith(".gz")) {
-              val raw = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-              val in = fs.open(p)
-              try in.readFully(0, raw) finally in.close()
-              inflated = gunzip(raw).getOrElse(Array.empty[Byte])
+              // .gz segments are materialized whole before inflating (the
+              // documented whole-segment offset semantics); a segment whose
+              // compressed length exceeds a byte array's 2 GiB limit can't
+              // be, so it is SKIPPED like any malformed record (the
+              // reader's skip-don't-throw contract) — `.toInt` on such a
+              // length would wrap negative and abort the job instead.
+              // Standard WARC practice caps segments at ~1 GiB.
+              val segLen = fs.getFileStatus(p).getLen
+              if (segLen > Int.MaxValue - 8) {
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"skipping oversized .warc.gz segment ($segLen bytes > 2 GiB): $seg")
+                inflated = Array.empty[Byte]
+              } else {
+                val raw = new Array[Byte](segLen.toInt)
+                val in = fs.open(p)
+                try in.readFully(0, raw) finally in.close()
+                inflated = gunzip(raw).getOrElse(Array.empty[Byte])
+              }
             } else stream = fs.open(p)
           }
           val slice =

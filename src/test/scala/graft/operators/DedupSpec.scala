@@ -220,6 +220,35 @@ class DedupSpec extends AnyFunSuite {
     assert(w1(300L) == (false, None))
   }
 
+  test("incremental screen: rerun of a committed wave is identical NEAR the agreement threshold") {
+    // the regime where a prior-side double count would flip decisions: the
+    // pair agrees on m hashes with m < minAgree <= 2m. On a rerun of a
+    // committed wave the corpus table already holds both survivors'
+    // signatures; counting them twice (corpus copy + batch copy) would
+    // read the agreement as 2m >= minAgree and falsely flag a dup that the
+    // original run kept. m is measured from the deterministic signatures,
+    // so the threshold placement is exact, not probabilistic.
+    val root = java.nio.file.Files.createTempDirectory("graft_inc4").toString
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tB = "alpha bravo charlie delta echo november oscar papa quebec romeo"
+    val sigs = Dedup.minhashLong(
+      Seq(1L -> tA, 2L -> tB).toDF("doc_id", "text"), "doc_id", "text", numHashes = 8)
+    val m = sigs.groupBy("h_idx").agg(countDistinct("min_hash").as("d"))
+      .where(col("d") === 1).count().toInt
+    assert(m >= 1 && m < 8, s"fixture must agree on some but not all hashes (got $m/8)")
+    def run(): Map[Long, (Boolean, Option[Long])] =
+      // rowsPerBand = 1: any single agreeing hash makes the pair a
+      // candidate, so the m-agreement pair is guaranteed to be compared
+      Dedup.incrementalMinhash(Seq(1L -> tA, 2L -> tB).toDF("doc_id", "text"),
+        "doc_id", "text", bands = 8, rowsPerBand = 1, minAgree = m + 1, root, "sigs", wave = 0)
+        .as[(Long, Boolean, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val w0 = run()
+    assert(w0 == Map(1L -> (false, None), 2L -> (false, None)),
+      s"agreement m=$m < minAgree=${m + 1}: both must survive the first run ($w0)")
+    assert(run() == w0, "rerun of the committed wave must re-derive identical decisions")
+  }
+
   test("incremental screen equals the one-shot LSH decision on a single batch") {
     // with an empty prior table, the screen's keep set must equal
     // dropKeys over minhash pairs at the same effective setting when all
