@@ -51,6 +51,14 @@ object Knn {
    * call (k/key-type constraints) — production callers never set it. */
   private def forcedPath: Option[String] = sys.env.get("GRAFT_KNN_PATH")
 
+  /** Combined input-size estimate below which general-k routes to the
+   * imperative aggregate instead of the declarative slot fold (see the
+   * routing note in [[apply]]). 64 MB of ESTIMATED input (compressed
+   * parquet bytes or exact range stats) is comfortably above every
+   * oracle fixture and comfortably below any job where scaling matters —
+   * the two measured regimes sit 30× below and 100× above it. */
+  private val DeclRouteMinBytes: Long = 64L << 20
+
   /** The session's broadcast budget in bytes (≤0 = never broadcast).
    * Parsed with Spark's own byte-string parser (covers every legal form
    * — "10m", "2t", whitespace — a hand parser once threw on); AQE's
@@ -97,6 +105,22 @@ object Knn {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
+    // General-k routing is SIZE-AWARE: applyDeclK's explode-and-reaggregate
+    // state fold pays a per-round fixed cost (2k-slot buffer exprs through
+    // an extra exchange) that dominates small jobs — measured 3.2 s decl vs
+    // 1.5 s agg on the 15k-query sf0.1 oracle fixture — while at bench
+    // scale (4M queries, 1.1G candidates) decl is ~1.5× faster and removes
+    // the ObjectHashAggregate span-boundary GC ceiling (SCALE.md). The
+    // routing signal is the optimizer's sizeInBytes estimate of both
+    // inputs: computed at plan time (no job, no collect), and frames with
+    // UNKNOWN stats default to spark.sql.defaultSizeInBytes = Long.Max,
+    // which routes to decl — the path whose shape survives 100×. Both
+    // paths are result-identical (KnnSpec path-equality property), so the
+    // estimate only steers the constant factor, never correctness.
+    def estBytes(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    lazy val smallJob =
+      estBytes(queries) + estBytes(targets) < BigInt(DeclRouteMinBytes)
     val path = forcedPath match {
       case Some("window") => "window"
       case Some("agg") if integralKey => "agg"
@@ -104,8 +128,9 @@ object Knn {
       case _ =>
         if (!integralKey) "window"
         else if (k == 1) "nearest"
-        else if (k <= TopKSlots.MaxK) "decl"
-        else "agg"
+        else if (k > TopKSlots.MaxK) "agg"
+        else if (smallJob) "agg"
+        else "decl"
     }
     path match {
       case "nearest" =>
