@@ -854,7 +854,7 @@ object SparkEntry {
         lit(java.sql.Timestamp.valueOf("2026-01-01 01:00:00")).as("ts"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(concat(col("text"), lit("!v2"))).as("content"))
-      Urls.latestCapture(a.unionByName(b), "url", "ts", "content")
+      Urls.latestCaptureRejoin(a.unionByName(b), "url", "ts", "content")
         .select(col("canonical_url"), col("n_captures"),
           col("changed").cast("int").as("changed"), md5(col("content")).as("content_md5"))
     }),

@@ -84,8 +84,9 @@ object Urls {
    *
    * One groupBy(canonical_url) with a max-of-struct argmax — no window,
    * no self-join; content bytes ride the shuffle once (the argmax struct
-   * carries them — at 100 TB prefer passing a digest/pointer column as
-   * `contentCol` and re-joining payloads, same contract).
+   * carries them, and every buffer merge COMPARES them byte-wise). Fine
+   * while payloads are small; at 100 TB use [[latestCaptureRejoin]],
+   * which keeps page bodies out of the argmax shuffle entirely.
    */
   def latestCapture(df: DataFrame, urlCol: String, tsCol: String,
       contentCol: String): DataFrame =
@@ -98,6 +99,48 @@ object Urls {
       .select(col("canonical_url"), col("__best.ts").as(tsCol),
         col("__best.u").as(urlCol), col("__best.c").as(contentCol),
         col("n_captures"), col("changed"))
+
+  /**
+   * [[latestCapture]] for page-body-sized content — the 100-TB default.
+   * Same contract and result rows, different shuffle shape: the argmax
+   * struct carries only (ts, url, digest) — slim fixed-width rows, so the
+   * canonical-url groupBy (the skewed exchange: hot sites have millions
+   * of captures) never moves or compares page bytes — and the winning
+   * payloads are fetched afterwards by ONE equi-join on
+   * (url, ts, digest), a well-distributed key (no canonical-url skew:
+   * every capture has a distinct raw (url, ts)), where each payload
+   * crosses the wire at most once. Captures sharing the exact
+   * (url, ts, digest) triple are interchangeable by construction
+   * (identical digest ⇒ identical bytes up to 64-bit collision), so the
+   * payload side deduplicates on the triple before the join to keep it
+   * multiplicity-safe.
+   *
+   * Tie-break note: within one canonical URL the argmax orders by
+   * (ts, url, digest) — the digest only breaks ties between captures
+   * sharing (ts, url), where [[latestCapture]]'s byte-wise comparison is
+   * also content-determined, just in raw-byte rather than digest order.
+   * Both orders are deterministic; row-set equality on every
+   * (ts, url)-unique input is pinned in UrlsSpec.
+   */
+  def latestCaptureRejoin(df: DataFrame, urlCol: String, tsCol: String,
+      contentCol: String): DataFrame = {
+    val withD = df.withColumn("__d", xxhash64(col(contentCol)))
+    val best = withD
+      .groupBy(canonical(col(urlCol)).as("canonical_url"))
+      .agg(
+        max(struct(col(tsCol).as("ts"), col(urlCol).as("u"), col("__d").as("d"))).as("__best"),
+        count(lit(1)).as("n_captures"),
+        (countDistinct(col("__d")) > 1).as("changed"))
+      .select(col("canonical_url"), col("__best.ts").as(tsCol),
+        col("__best.u").as(urlCol), col("__best.d").as("__d"),
+        col("n_captures"), col("changed"))
+    val payloads = withD
+      .select(col(urlCol), col(tsCol), col("__d"), col(contentCol))
+      .dropDuplicates(urlCol, tsCol, "__d")
+    best.join(payloads, Seq(urlCol, tsCol, "__d"))
+      .select(col("canonical_url"), col(tsCol), col(urlCol), col(contentCol),
+        col("n_captures"), col("changed"))
+  }
 
   // ======== robots.txt (RFC 9309) crawl gate ==============================
 

@@ -177,4 +177,31 @@ class UrlsSpec extends AnyFunSuite {
       "https://e.com/b" -> ((ts(2), "same", 2L, false)),
       "https://e.com/c" -> ((ts(1), "only", 1L, false))))
   }
+
+  test("latestCaptureRejoin equals the payload-carrying form (incl. duplicate captures)") {
+    // the 100-TB digest-rejoin path must produce the SAME row set as the
+    // payload-through-shuffle form on any (url, ts)-unique input, and the
+    // payload-side triple dedup must keep the re-join multiplicity-safe
+    // when byte-identical captures repeat exactly (same url, ts, bytes)
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val caps = Seq(
+      ("https://E.com/a?utm_source=t", ts(1), "v1"),
+      ("https://e.com/a", ts(2), "v2"),
+      ("https://e.com/a#frag", ts(3), "v2"),
+      ("https://e.com/b", ts(1), "same"),
+      ("https://e.com/b?utm_medium=m", ts(2), "same"),
+      ("https://e.com/c", ts(1), "only"),
+      // exact duplicate capture rows (a crawler wrote the record twice):
+      // count them, but the re-join must not multiply the winner
+      ("https://e.com/d", ts(4), "dup"),
+      ("https://e.com/d", ts(4), "dup")).toDF("url", "ts", "content")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String) => org.apache.spark.sql.DataFrame) =
+      f(caps, "url", "ts", "content")
+        .select(col("canonical_url"), col("ts"), col("url"), col("content"),
+          col("n_captures") * 10 + col("changed").cast("long"))
+        .as[(String, java.sql.Timestamp, String, String, Long)].collect().sorted.toSeq
+    val rejoin = run(Urls.latestCaptureRejoin)
+    assert(rejoin == run(Urls.latestCapture))
+    assert(rejoin.count(_._1 == "https://e.com/d") == 1, "duplicate rows must not multiply")
+  }
 }
