@@ -841,6 +841,67 @@ object SparkEntry {
       graft.api.Engine.sitemapUrls(sitemaps, "source", "xml")
     }),
 
+    // the composite crawl front door — the pipeline a crawl operator
+    // actually runs, chaining the q114/q109/q113/q115 operators over ONE
+    // capture table (so any column-contract drift between them breaks
+    // here): canonicalize raw captures → collapse revisits to the latest
+    // capture (digest re-join; page bytes never ride the argmax shuffle)
+    // → RFC 9309 robots gate (longest-prefix precedence) → attach the
+    // per-host politeness budget → flag sitemap-discovered URLs. Plan
+    // shape is pinned in PlanAuditSpec: equi-joins only, no cartesian,
+    // no window over the capture table.
+    "q116_crawl_front_door" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val v = pmod(Sketches.portableHash52(col("source")), lit(3))
+      // four path families so every robots rule fires; unique per doc so
+      // revisit collapse merges only a page's own capture variants
+      val path = element_at(array(
+          concat(lit("/private/"), col("doc_id")),
+          concat(lit("/private/pub/"), col("doc_id")),
+          concat(lit("/tmp/"), col("doc_id")),
+          concat(lit("/ok/"), col("doc_id"))),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val base = concat(lit("https://"), col("source"), path)
+      val a = docs.select(base.as("url"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+        col("text").as("content"))
+      val b = docs.select(concat(base, lit("?utm_source=x")).as("url"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 01:00:00")).as("ts"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit("!v2"))).as("content"))
+      val latest = Urls.latestCaptureRejoin(a.unionByName(b), "url", "ts", "content")
+      // robots = the q109 gate rules merged with the q113 delay lines
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("txt",
+          when(v === 0,
+            "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\nAllow: /private/pub/\n")
+            .when(v === 1,
+              "User-agent: googlebot\nDisallow: /\n\n" +
+                "User-agent: *\nCrawl-delay: 1.5\nDisallow: /tmp\n")
+            .otherwise("User-agent: googlebot\nCrawl-delay: 9\nDisallow: /\n"))
+      val gated = Urls
+        .robotsFilter(latest, "canonical_url", Urls.robotsRules(robots, "source", "txt"))
+        .where(col("fetchable"))
+      val delays = Urls.robotsCrawlDelay(robots, "source", "txt")
+      // sitemaps list even docs only (a per-URL membership flag, not a
+      // gate) under the SAME urls the captures canonicalize to
+      val entry = concat(lit("<url><loc>"), base, lit("</loc></url>"))
+      val sitemaps = docs.where(col("doc_id") % 2 === 0)
+        .groupBy(col("source"))
+        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(entry)),
+          lit("</urlset>")).as("xml"))
+      val listed = graft.api.Engine.sitemapUrls(sitemaps, "source", "xml")
+        .select(col("loc_url")).distinct().withColumn("__sm", lit(1))
+      gated
+        .withColumn("host", regexp_extract(col("canonical_url"), "^https://([^/]*)", 1))
+        .join(delays, Seq("host"), "left")
+        .join(listed, col("canonical_url") === col("loc_url"), "left")
+        .select(col("canonical_url"), col("host"), col("n_captures"),
+          col("changed").cast("int").as("changed"),
+          md5(col("content")).as("content_md5"), col("crawl_delay"),
+          coalesce(col("__sm"), lit(0)).as("in_sitemap"))
+    }),
+
     // revisit collapse: two captures per page (the newer under a
     // tracking-param variant url, content changed on odd docs) — keep the
     // newest, count captures, flag real content change
@@ -2269,6 +2330,28 @@ object SparkEntry {
          |  'https://' || source || '/d/' || doc_id::VARCHAR AS loc_url,
          |  '2026-01-0' || (doc_id % 3 + 1)::VARCHAR AS lastmod
          |FROM documents""".stripMargin),
+
+    // q116: every stage of the composite is closed-form per doc — the
+    // newer capture wins (content by parity), robots decisions and delays
+    // follow the q109/q113 md5-bucket variants, sitemap membership is doc
+    // parity; the WHERE clause is the robots gate
+    "q116_crawl_front_door" ->
+      ("""WITH d AS (SELECT doc_id, source, text,
+         |    CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) % 3 AS v,
+         |    CASE CAST(doc_id % 4 AS INTEGER)
+         |      WHEN 0 THEN '/private/' || doc_id::VARCHAR
+         |      WHEN 1 THEN '/private/pub/' || doc_id::VARCHAR
+         |      WHEN 2 THEN '/tmp/' || doc_id::VARCHAR
+         |      ELSE '/ok/' || doc_id::VARCHAR END AS path
+         |  FROM documents)
+         |SELECT 'https://' || source || path AS canonical_url, source AS host,
+         |  CAST(2 AS BIGINT) AS n_captures,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER) AS changed,
+         |  md5(CASE WHEN doc_id % 2 = 0 THEN text ELSE text || '!v2' END) AS content_md5,
+         |  CASE WHEN v = 0 THEN 2.0 WHEN v = 1 THEN 1.5 ELSE NULL END AS crawl_delay,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS in_sitemap
+         |FROM d
+         |WHERE NOT (v = 0 AND doc_id % 4 = 0) AND NOT (v = 1 AND doc_id % 4 = 2)""".stripMargin),
 
     // q114: the newer capture always wins and its content is closed-form
     // per doc parity; the tracking-param variant collapses canonically

@@ -103,6 +103,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("q116 crawl front door: equi-joins only, no window over the capture table") {
+    // the composite chains canonical → revisit collapse → robots gate →
+    // delay → sitemap flag; the scale contract is that every join is an
+    // equi-join (no cartesian/nested-loop blowup across pages) and the
+    // only Window nodes are the per-host robots LINE-grouping pass
+    // (partitioned by host, ordered by line pos — bounded by robots.txt
+    // size), never one over the full capture table
+    val df = graft.SparkEntry.queries("q116_crawl_front_door")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(12).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(12).mkString("\n"))
+    val windows = plan.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windows.forall(w => w.contains("pos") && w.contains("host")),
+      s"unexpected window over non-robots input:\n${windows.mkString("\n")}")
+  }
+
   test("scalar cell expressions stay inside whole-stage codegen") {
     val df = customer.select(graft.functions.cell_id(
       (col("c_custkey") % 180 - 90).cast("double"),
