@@ -170,6 +170,40 @@ object SparkEntry {
       s"i -> $gram)))"
   }
 
+  /** DuckDB Lloyd mirror, shared by the q55/q118 oracles: corpus rows of
+   * CTE `e` (vec_id, v) → nearest-centroid assignment (rn ≤ limit keeps
+   * `limit` nearest; dist ties break by cid like Spark's array_min over
+   * (d, c) structs). */
+  private def duckAssign(cents: String, limit: Int, where: String = ""): String =
+    s"""SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(c.m, c.m) - 2 * list_dot_product(e.v, c.m), c.cid) AS rn
+       |    FROM e CROSS JOIN $cents c $where) WHERE rn <= $limit""".stripMargin
+
+  /** DuckDB Lloyd step: per-cluster element-wise mean (exact on the
+   * integer-valued quantized doubles), empty clusters keep the previous
+   * centroid. */
+  private def duckMeans(afrom: String, prev: String): String =
+    s"""SELECT p.cid, coalesce(g.m, p.m) AS m FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(s ORDER BY i) AS m FROM (
+       |      SELECT cid, t.u.i AS i, avg(t.u.x) AS s FROM (
+       |        SELECT cid, unnest(list_transform(v, (x, i) -> {'x': x, 'i': i})) AS u
+       |        FROM $afrom) t
+       |      GROUP BY cid, t.u.i) GROUP BY cid) g ON p.cid = g.cid""".stripMargin
+
+  /** The 2-iteration Lloyd loop over CTE `e`: init c0 = kClusters
+   * lowest-key vectors, two assign+means rounds ending at centroids
+   * `m2` — byte-identical to Similarity.kmeansCentroids(iters = 2). */
+  private def duckLloydCtes(kClusters: Int): String =
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS m
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kClusters)),
+       |a1 AS (${duckAssign("c0", 1)}),
+       |m1 AS (${duckMeans("a1", "c0")}),
+       |a2 AS (${duckAssign("m1", 1)}),
+       |m2 AS (${duckMeans("a2", "m1")})""".stripMargin
+
   /** Flagship: full spatial pipeline over the synthesized pages fixture
    * (extract → cell-encode → spatial join → PIP). Driver smoke-checks
    * rows > 0 at sf0.001. */
@@ -336,6 +370,22 @@ object SparkEntry {
       Similarity.kmeansIvfTopK(q, "q_vec", "embedding", e, "vec_id", "embedding",
         k = 5, kClusters = 8, iters = 2, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup over
+    // the q55 quantized vectors plus exact-copy rows (vec_id+100000 for
+    // vec_id < 50) — copies share their original's cluster and cosine 1.0,
+    // so every one must be dropped; natural ≥0.95 pairs prune too. The
+    // oracle replays the identical Lloyd loop + pairwise shadow in SQL.
+    "q118_semdedup" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(256)).cast("double")).as("v"))
+      val withCopies = e.unionByName(e.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), col("v")))
+      Similarity.semDedup(withCopies, "vec_id", "v",
+        kClusters = 8, iters = 2, tau = 0.95)
+        .withColumn("kept", col("kept").cast("int"))
     }),
 
     // ---- tool-facade round-out: every remaining SURVEY §2 operator gets an
@@ -532,6 +582,14 @@ object SparkEntry {
       Sketches.kmvMerge(
         Sketches.kmvSketch(ev, Seq("event_type"), "u", 16), Seq.empty, 16)
     }),
+
+    // bucket-minima distinct sketch at REALISTIC k (256) — the scale path
+    // past TopKSlots.MaxK: plain codegen-fused min aggregate, no distinct
+    // pre-pass, integer-exact estimator replayed bit-for-bit in SQL
+    "q117_minbucket_distinct" -> ((s, d) =>
+      Sketches.minBucketDistinct(
+        tbl(s, d, "events").withColumn("u", col("user_id").cast("string")),
+        Seq("event_type"), "u", k = 256)),
 
     // banded big-x-big interval join (no broadcast side assumed): event
     // cents vs +/-50-cent customer-balance windows, then a per-event
@@ -1492,6 +1550,27 @@ object SparkEntry {
          |            ELSE (15 * 4503599627370496) // h16 END AS BIGINT) AS est_distinct
          |FROM g""".stripMargin),
 
+    // q117: the bucket-minima sketch replayed in SQL — same 52-bit
+    // md5-prefix hash, bucket = low 8 bits, reduced hash = high 44 bits,
+    // empty buckets contribute S' = 2^44, occupancy-corrected integer
+    // estimator (2^52·hits) // Σ − 1 with the buckets_hit lower-bound
+    // guard (DuckDB sums BIGINT into HUGEINT; the final CAST lands back
+    // on BIGINT like Spark's long arithmetic)
+    "q117_minbucket_distinct" ->
+      ("""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |b AS (SELECT event_type, hv & 255 AS bucket, min(hv >> 8) AS m
+         |      FROM h GROUP BY 1, 2),
+         |g AS (SELECT event_type, count(*) AS hits,
+         |        sum(m) + (256 - count(*)) * 17592186044416 AS s
+         |      FROM b GROUP BY 1)
+         |SELECT event_type, CAST(hits AS BIGINT) AS buckets_hit,
+         |  CAST(greatest((4503599627370496 * hits) // greatest(s, 1) - 1, hits) AS BIGINT)
+         |    AS est_distinct
+         |FROM g""".stripMargin),
+
     // q81: plain theta join in DuckDB — the banded plan must produce the
     // identical pair set (and therefore identical rollups)
     "q81_interval_join" ->
@@ -2241,34 +2320,12 @@ object SparkEntry {
     // list_dot_product folds like DotProductExpr (see the query-side
     // comment). Assignment/probe CTEs share one generated shape.
     "q55_kmeans_ivf" -> {
-      // corpus→nearest-centroid rows (rn ≤ limit keeps `limit` nearest)
-      def assign(cents: String, limit: Int, where: String = ""): String =
-        s"""SELECT vec_id, v, cid FROM (
-           |    SELECT e.vec_id, e.v, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY list_dot_product(c.m, c.m) - 2 * list_dot_product(e.v, c.m), c.cid) AS rn
-           |    FROM e CROSS JOIN $cents c $where) WHERE rn <= $limit""".stripMargin
-      // Lloyd step: per-cluster element-wise mean (exact: integer-valued
-      // doubles), empty clusters keep the previous centroid
-      def means(afrom: String, prev: String): String =
-        s"""SELECT p.cid, coalesce(g.m, p.m) AS m FROM $prev p LEFT JOIN (
-           |    SELECT cid, list(s ORDER BY i) AS m FROM (
-           |      SELECT cid, t.u.i AS i, avg(t.u.x) AS s FROM (
-           |        SELECT cid, unnest(list_transform(v, (x, i) -> {'x': x, 'i': i})) AS u
-           |        FROM $afrom) t
-           |      GROUP BY cid, t.u.i) GROUP BY cid) g ON p.cid = g.cid""".stripMargin
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 256)) AS v
          |  FROM embeddings),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS m
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-         |a1 AS (${assign("c0", 1)}),
-         |m1 AS (${means("a1", "c0")}),
-         |a2 AS (${assign("m1", 1)}),
-         |m2 AS (${means("a2", "m1")}),
-         |cass AS (${assign("m2", 1)}),
-         |qprobe AS (${assign("m2", 2, "WHERE e.vec_id < 20")}),
+         |${duckLloydCtes(kClusters = 8)},
+         |cass AS (${duckAssign("m2", 1)}),
+         |qprobe AS (${duckAssign("m2", 2, "WHERE e.vec_id < 20")}),
          |scored AS (
          |  SELECT q.vec_id AS q_vec, c.vec_id,
          |    round(list_dot_product(q.v, c.v) /
@@ -2278,6 +2335,29 @@ object SparkEntry {
          |  SELECT q_vec, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_vec ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin
+    },
+
+    // q118: identical Lloyd loop over the union fixture, then the SemDeDup
+    // shadow rule — a doc is dropped iff a smaller-keyed cluster-mate
+    // scores 4-dp cosine >= 0.95 (the deterministic min-key-survivor
+    // convention the Spark side documents)
+    "q118_semdedup" -> {
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 256)) AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> floor(x * 256))
+         |  FROM embeddings WHERE vec_id < 50),
+         |${duckLloydCtes(kClusters = 8)},
+         |cass AS (${duckAssign("m2", 1)}),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id FROM cass a JOIN cass b
+         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM cass a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
     },
 
     // q41: the sign-LSH hyperplanes are deterministic data-independent

@@ -301,6 +301,51 @@ object Similarity {
     rankTopK(scored, k, qKey, cKey)
   }
 
+  /**
+   * SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication", 2023): embedding-space
+   * near-duplicate pruning. Cluster the corpus with the deterministic
+   * Lloyd quantizer ([[kmeansCentroids]]), then WITHIN each cluster drop
+   * every document that has a smaller-keyed cluster-mate at cosine ≥ tau.
+   * Output: (cKey, cluster_id, kept) for every input row.
+   *
+   * Determinism: the paper keeps a random exemplar per ε-ball; this
+   * implementation keeps the MINIMUM key of each shadowing pair — a pure
+   * function of the data, so retries/reruns/oracles reproduce identical
+   * decisions (the same convention as the minhash dedup family). A doc is
+   * dropped iff ANY smaller-keyed cluster-mate scores ≥ tau (pairwise
+   * shadowing, not transitive closure: A≈B≈C with cos(A,C) < tau keeps A
+   * and C — the paper's per-ball pruning has the same non-transitive
+   * boundary). Cosines are 4-dp-rounded before the threshold test, the
+   * proven cross-engine-stable comparison.
+   *
+   * Scale shape (the paper's own blocking argument): the only join is an
+   * equi-join on the cluster id, so candidate pairs are |cluster|² per
+   * cluster, never corpus² — size kClusters ∝ corpus so clusters stay
+   * O(thousands) and the quadratic term is bounded per key; the exchange
+   * carries (key, vec) once. The centroid matrix is driver-side metadata
+   * (kClusters × dim), exactly like the IVF path. Skewed hot clusters at
+   * extreme scale: cap cluster radius by raising kClusters (the paper
+   * uses corpus/kClusters ≈ 10⁴) — no cartesian, no window over the
+   * corpus (plan pinned in SimilaritySpec).
+   */
+  def semDedup(corpus: DataFrame, cKey: String, cVec: String,
+      kClusters: Int, iters: Int, tau: Double): DataFrame = {
+    val centroids = kmeansCentroids(corpus, cKey, cVec, kClusters, iters)
+    val a = assignToCentroids(
+      corpus.select(col(cKey).as("__k"), col(cVec).as("__v")), "__v", centroids)
+    val l = a.select(col("__cid"), col("__k").as("__lk"), col("__v").as("__lv"))
+    val r = a.select(col("__cid"), col("__k").as("__rk"), col("__v").as("__rv"))
+    val dropped = l.join(r, "__cid")
+      .where(col("__rk") < col("__lk"))
+      .where(round(cosine(col("__lv"), col("__rv")), 4) >= tau)
+      .select(col("__lk").as("__k")).distinct()
+      .withColumn("__dropped", lit(true))
+    a.join(dropped, Seq("__k"), "left")
+      .select(col("__k").as(cKey), col("__cid").cast("long").as("cluster_id"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+  }
+
   /** IVF-bucketed ANN: candidates share the query's coarse partition. */
   def ivfTopK(queries: DataFrame, qKey: String, qVec: String, qPart: String,
       corpus: DataFrame, cKey: String, cVec: String, cPart: String, k: Int): DataFrame = {

@@ -108,8 +108,9 @@ object Sketches {
    * TopKSlots (codegen-fused partials); larger sketches fall back to the
    * imperative TopKAggExpr — both emit `keys` sorted hash-ascending
    * (score = -hash descending; 52-bit magnitudes round-trip a double
-   * exactly, so the negated score loses nothing). */
-  private def aggSlots(hashes: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+   * exactly, so the negated score loses nothing). private[graft] so
+   * [[graft.SketchBench]] can time the two aggregate paths in isolation. */
+  private[graft] def aggSlots(hashes: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val slots =
       if (k <= TopKSlots.MaxK)
         TopKByScore.topKSlots(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
@@ -117,6 +118,123 @@ object Sketches {
         TopKByScore.topK(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
     hashes.groupBy(groupCols.map(col): _*).agg(slots.as("__kmv"))
   }
+
+  // ======== Bucket-minima distinct sketch (stochastic averaging) =========
+
+  /** log2(k) for the power-of-two bucket counts the minima sketch needs
+   * (low `bits` of the hash = bucket, the rest = the reduced hash — both
+   * exactly uniform and independent only when k divides the hash range). */
+  private def log2Pow2(k: Int): Int = {
+    require(k >= 2 && k <= 1024 && Integer.bitCount(k) == 1,
+      s"k must be a power of two in [2, 1024] (got $k)")
+    Integer.numberOfTrailingZeros(k)
+  }
+
+  /**
+   * Distinct-count sketch over BUCKET MINIMA — stochastic averaging
+   * (Flajolet & Martin's PCSA trick; the order-statistics estimator
+   * family is analyzed in Giroire, "Order statistics and estimating
+   * cardinalities of massive data sets", Discrete Applied Mathematics
+   * 157(2), 2009): split the hash into bucket = low log2(k) bits and a
+   * reduced hash rh = the remaining 52−log2(k) bits, keep min(rh) per
+   * (group, bucket). Relative error is O(1/sqrt(k)), the same order as
+   * bottom-k KMV at equal k.
+   *
+   * Why this exists next to [[kmvSketch]] — the REALISTIC-k scale path
+   * (k = 256–1024, where KMV error bounds get useful):
+   *  - the aggregate is a plain long `min`, so `HashAggregateExec` fuses
+   *    the partial aggregation into the whole-stage-codegen span at ANY
+   *    k. Bottom-k slots are declarative (codegen-fused) only to
+   *    k = [[TopKSlots.MaxK]] = 16; beyond that KMV rides the imperative
+   *    [[TopKAggExpr]], forcing ObjectHashAggregate whose span-boundary
+   *    row copies the repo profiled at ~100 GB/child (SCALE.md) — the
+   *    measured k = 256 numbers live in [[graft.SketchBench]]/SCALE.md;
+   *  - no distinct pre-pass: duplicate values share a hash and `min`
+   *    absorbs them, so the ONLY shuffle is the map-side-combined
+   *    partial-min exchange, at most k rows per group per map task
+   *    (kmvSketch must first shuffle EVERY distinct value for its
+   *    `.distinct()`);
+   *  - sketches merge by min-of-mins — exact, any number of times, so
+   *    per-partition / per-day sketches roll up without rescanning
+   *    (pinned by SketchesSpec).
+   *
+   * Output: group cols + `__mb_bucket` + `__mb_min` (k rows per group at
+   * most — hit buckets only; [[minBucketEstimate]] supplies the empty-
+   * bucket convention min = S' = 2^(52−log2 k), the min of zero draws).
+   */
+  def minBucketSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    val bits = log2Pow2(k)
+    val hv = portableHash52(col(valueCol))
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ hv.as("__mb_h"): _*)
+      .select(groupCols.map(col) :+
+        col("__mb_h").bitwiseAND(lit((k - 1).toLong)).as("__mb_bucket") :+
+        shiftright(col("__mb_h"), bits).as("__mb_rh"): _*)
+      .groupBy((groupCols :+ "__mb_bucket").map(col): _*)
+      .agg(min("__mb_rh").as("__mb_min"))
+  }
+
+  /** Roll bucket-minima sketches up to a COARSER grouping (empty =
+   * global) by min-of-mins per bucket — exact: the coarse bucket's
+   * minimum IS the min over its fine groups' minima (same hash, same
+   * bucket split), so rollups reproduce the direct coarse sketch
+   * bit-for-bit. All inputs must share k. */
+  def minBucketMerge(sketches: DataFrame, coarseGroupCols: Seq[String]): DataFrame =
+    sketches.groupBy((coarseGroupCols :+ "__mb_bucket").map(col): _*)
+      .agg(min("__mb_min").as("__mb_min"))
+
+  /**
+   * Estimator columns from a bucket-minima sketch: group cols +
+   * `buckets_hit` + `est_distinct`. Method of moments on the sum of
+   * minima with an occupancy-ratio bias correction: a bucket holding
+   * n_i of the n distinct values has E[min] = S′/(n_i+1) (S′ =
+   * 2^(52−log2 k), the reduced-hash range; an empty bucket contributes
+   * S′, the min of zero draws). Naively inverting E[Σ] ≈ S′·k²/(n+k)
+   * under-estimates badly at moderate occupancy (measured −17% at
+   * n/k ≈ 6): Jensen on 1/(n_i+1) over the binomial bucket loads makes
+   * E[Σ] = S′·k²·(1−q)/(n+1) with q = (1−1/k)^(n+1), not S′·k²/(n+k).
+   * But E[buckets_hit] = k·(1−(1−1/k)^n) ≈ k·(1−q) carries the SAME
+   * factor, so the ratio cancels it to first order:
+   *   n̂ = (S′·k·buckets_hit) div Σ − 1 = (2^52·buckets_hit) div Σ − 1
+   * (simulated mean bias < 1% from n = k/8 to n = 400·k; std ≈ 1/√k).
+   * All-integer — 2^52·hits ≤ 2^62 at k ≤ 1024 — so DuckDB replays it
+   * bit-for-bit (HUGEINT sum, `//`). The final `greatest(n̂,
+   * buckets_hit)` keeps the n ≪ k regime exact: each hit bucket proves
+   * ≥ 1 distinct value and collisions are rare there — the same shape
+   * as HyperLogLog's linear-counting small-range correction (Whang et
+   * al. 1990).
+   */
+  def minBucketEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    val bits = log2Pow2(k)
+    val sPrime = 1L << (HashBits - bits)
+    val groupCols =
+      sketch.columns.filterNot(c => c == "__mb_bucket" || c == "__mb_min").toSeq
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("buckets_hit"), sum("__mb_min").as("__mb_sum_hit"))
+      // Σ over ALL k buckets: hit minima + S' per empty bucket. Bounded by
+      // k·S' = 2^52, so the long sum cannot overflow (ANSI-safe).
+      .withColumn("__mb_sum",
+        col("__mb_sum_hit") + (lit(k.toLong) - col("buckets_hit")) * lit(sPrime))
+      .withColumn("est_distinct",
+        greatest(
+          expr(s"(${Scale}L * buckets_hit) div greatest(__mb_sum, 1L) - 1L"),
+          col("buckets_hit")))
+      .drop("__mb_sum_hit", "__mb_sum")
+  }
+
+  /** Per-group distinct-count estimate via bucket minima — the
+   * realistic-k counterpart of [[kmvDistinct]] (see [[minBucketSketch]]
+   * for why it is the 100-TB path at k > [[TopKSlots.MaxK]]). */
+  def minBucketDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 256): DataFrame =
+    minBucketEstimate(minBucketSketch(df, groupCols, valueCol, k), k)
 
   // ======== Count–Min sketch (frequency) ==================================
 

@@ -244,4 +244,36 @@ class SimilaritySpec extends AnyFunSuite {
       .view.mapValues(_.map(_._2).toSet).toMap
     val recall = exact.keys.toSeq.map(q => (exact(q) & quant(q)).size.toDouble / 5).sum / exact.size
     assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("semDedup: exact copies dropped, cluster minima kept, partitioning-invariant") {
+    // corpus = 200 vectors + exact copies of the first 40 under higher
+    // keys: a copy has identical centroid distances (same cluster, ties
+    // break identically) and 4-dp cosine 1.0 with its original, so every
+    // copy MUST be dropped; the smallest key of each cluster has no
+    // smaller-keyed mate and MUST be kept
+    val base = emb.where(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(base.where(col("vec_id") < 40)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+      kClusters = 8, iters = 2, tau = 0.95)
+    val rows = out.select("vec_id", "cluster_id", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == 240 && rows.map(_._1).distinct.length == 240)
+    val copies = rows.filter(_._1 >= 1000)
+    assert(copies.length == 40 && copies.forall(!_._3),
+      s"surviving copies: ${copies.filter(_._3).map(_._1).mkString(",")}")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val minKey = members.map(_._1).min
+      assert(members.find(_._1 == minKey).get._3, s"cluster $cid min key $minKey dropped")
+    }
+    // deterministic under repartitioning (pure function of the data)
+    val again = Similarity.semDedup(corpus.repartition(13, col("vec_id")),
+      "vec_id", "embedding", kClusters = 8, iters = 2, tau = 0.95)
+      .select("vec_id", "cluster_id", "kept").as[(Long, Long, Boolean)].collect()
+    assert(again.toSet == rows.toSet)
+    // scale contract: the shadow join is an equi-join on the cluster id
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(10).mkString("\n"))
   }}

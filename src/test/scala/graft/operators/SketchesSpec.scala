@@ -33,7 +33,10 @@ class SketchesSpec extends AnyFunSuite {
     when(col("id") % 100 === 0, "tiny")
       .when(col("id") % 3 === 0, "medium").otherwise("large").as("g"),
     // tiny: 5 distinct; medium: 200 distinct; large: 6000 distinct
-    when(col("id") % 100 === 0, concat(lit("t"), pmod(col("id"), lit(500)).cast("string")))
+    // tiny modulus 250, not 500: the five t-values must land in five
+    // DISTINCT low-8-bit md5 buckets for the small-n exactness test
+    // (t200/t300 under mod 500 collide in bucket 228; verified offline)
+    when(col("id") % 100 === 0, concat(lit("t"), pmod(col("id"), lit(250)).cast("string")))
       .when(col("id") % 3 === 0, concat(lit("m"), pmod(col("id"), lit(600)).cast("string")))
       .otherwise(concat(lit("l"), pmod(col("id"), lit(9000)).cast("string"))).as("v"))
 
@@ -104,6 +107,96 @@ class SketchesSpec extends AnyFunSuite {
     val got = vals.toDF("v").select(Sketches.portableHash52(col("v")))
       .as[Long].collect().toSeq
     assert(got == vals.map(refHash))
+  }
+
+  // ----- bucket-minima distinct sketch -----
+
+  /** Reference bucket-minima estimator on the driver (bit-for-bit the
+   * scaladoc formula: low bits bucket, high-bit minima, empty = S',
+   * integer div, buckets_hit lower-bound guard). */
+  private def refMinBucket(values: Seq[String], k: Int): (Long, Long) = {
+    val bits = Integer.numberOfTrailingZeros(k)
+    val sPrime = 1L << (52 - bits)
+    val mins = values.map(refHash).distinct
+      .groupBy(h => h & (k - 1)).values.map(_.map(_ >> bits).min)
+    val hits = mins.size.toLong
+    val sum = mins.sum + (k - hits) * sPrime
+    (hits, math.max(((1L << 52) * hits) / math.max(sum, 1L) - 1, hits))
+  }
+
+  for (k <- Seq(16, 256)) {
+    test(s"minBucketDistinct(k=$k) matches the driver reference per group") {
+      val got = Sketches.minBucketDistinct(df, Seq("g"), "v", k)
+        .select("g", "buckets_hit", "est_distinct")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got.keySet == Set("tiny", "medium", "large"))
+      for (g <- got.keySet)
+        assert(got(g) == refMinBucket(groupValues(g), k),
+          s"group $g: got ${got(g)}, want ${refMinBucket(groupValues(g), k)}")
+    }
+  }
+
+  test("minBucket estimate is statistically sane at k=256 on the large group") {
+    val (hits, est) = Sketches.minBucketDistinct(df, Seq("g"), "v", 256)
+      .where(col("g") === "large")
+      .select("buckets_hit", "est_distinct").as[(Long, Long)].head()
+    val truth = groupValues("large").size.toLong // 6000
+    // O(1/sqrt(256)) ≈ 6% expected error; allow 4 sigma
+    assert(est > truth * 3 / 4 && est < truth * 5 / 4,
+      s"minBucket(256) estimate $est implausible for true $truth")
+    assert(hits <= 256 && hits >= 200, s"hits $hits implausible for n=6000, k=256")
+  }
+
+  test("minBucket small-n regime is exact via the buckets_hit guard") {
+    // tiny group: 5 distinct values, k=256 — whp no bucket collision, so
+    // buckets_hit = 5 and the guard makes the estimate exact (the
+    // deterministic fixture is checked, not assumed: refMinBucket agrees)
+    val (hits, est) = Sketches.minBucketDistinct(df, Seq("g"), "v", 256)
+      .where(col("g") === "tiny")
+      .select("buckets_hit", "est_distinct").as[(Long, Long)].head()
+    assert((hits, est) == refMinBucket(groupValues("tiny"), 256))
+    assert(est == 5L)
+  }
+
+  test("minBucketMerge rollup equals the direct coarse sketch exactly") {
+    val fine = Sketches.minBucketSketch(df, Seq("g"), "v", 256)
+    val merged = Sketches.minBucketEstimate(
+      Sketches.minBucketMerge(fine, Seq.empty), 256)
+      .select("buckets_hit", "est_distinct").as[(Long, Long)].head()
+    val direct = Sketches.minBucketDistinct(df, Seq.empty, "v", 256)
+      .select("buckets_hit", "est_distinct").as[(Long, Long)].head()
+    assert(merged == direct)
+    // identity rollup reproduces the per-group estimates
+    val ident = Sketches.minBucketEstimate(Sketches.minBucketMerge(fine, Seq("g")), 256)
+      .select("g", "buckets_hit", "est_distinct").as[(String, Long, Long)].collect().toSet
+    val orig = Sketches.minBucketDistinct(df, Seq("g"), "v", 256)
+      .select("g", "buckets_hit", "est_distinct").as[(String, Long, Long)].collect().toSet
+    assert(ident == orig)
+  }
+
+  test("minBucket estimates are partitioning-invariant") {
+    val a = Sketches.minBucketDistinct(df.repartition(1), Seq("g"), "v", 256)
+      .select("g", "est_distinct").as[(String, Long)].collect().toMap
+    val b = Sketches.minBucketDistinct(df.repartition(13, col("v")), Seq("g"), "v", 256)
+      .select("g", "est_distinct").as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("minBucket rejects non-power-of-two and out-of-range k") {
+    for (k <- Seq(0, 1, 3, 100, 2048))
+      intercept[IllegalArgumentException](
+        Sketches.minBucketSketch(df, Seq("g"), "v", k))
+  }
+
+  test("minBucket plan: codegen-fused HashAggregate, no ObjectHashAggregate, no distinct pre-shuffle") {
+    val plan = Sketches.minBucketDistinct(df, Seq("g"), "v", 256)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan.linesIterator.take(8).mkString("\n"))
+    // exactly two exchanges: (g, bucket) partial-min and the (g) estimate
+    // rollup — a KMV-style distinct pre-pass would add a third
+    // count tree nodes, not line prefixes: plan lines carry "+- " markers
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
   // ----- Count–Min sketch -----
