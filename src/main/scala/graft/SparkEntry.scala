@@ -652,10 +652,11 @@ object SparkEntry {
     "q87_repetition" -> ((s, d) =>
       TextAnalysis.repetition(tbl(s, d, "documents"), "doc_id", "text")),
 
-    // domain balancing: ≤ 8 docs per source, deterministic md5-hash order;
-    // cap 8 ≤ TopKSlots.MaxK → exercises the declarative partial-top-k path
+    // domain balancing: ≤ 4 docs per source, deterministic md5-hash order;
+    // cap 4 = TopKSlots.JitK → exercises the declarative partial-top-k
+    // slots path (k ≥ 5 routes to the window/imperative forms: JitK doc)
     "q88_domain_cap" -> ((s, d) =>
-      Curation.capPerGroup(tbl(s, d, "documents"), "source", "doc_id", 8, "cap-v1")
+      Curation.capPerGroup(tbl(s, d, "documents"), "source", "doc_id", 4, "cap-v1")
         .select("doc_id", "source")),
 
     // int8-quantized ANN: per-vector symmetric codes (floor(x·127/m + .5)
@@ -1671,7 +1672,7 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, source FROM (
          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
-         |WHERE rn <= 8""".stripMargin),
+         |WHERE rn <= 4""".stripMargin),
 
     // q89: identical quantization (same float max, same double ·/÷ order,
     // same floor(+0.5)) and identical cosine expression — exact integer

@@ -156,7 +156,7 @@ object Curation {
    * key — so reruns, retries, and other engines pick the identical
    * subset, and different salts draw independent subsets.
    *
-   * Scale shape: for `maxPerGroup` ≤ [[TopKSlots.MaxK]] with an integral
+   * Scale shape: for `maxPerGroup` ≤ [[TopKSlots.JitK]] with an integral
    * key, the kept set comes from the declarative partial top-k aggregate
    * (score = −hash): every map task forwards at most `maxPerGroup` slots
    * per group to the exchange, so a hot domain with 10^9 pages costs the
@@ -184,7 +184,7 @@ object Curation {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    if (maxPerGroup <= TopKSlots.MaxK && integralKey) {
+    if (maxPerGroup <= TopKSlots.JitK && integralKey) { // JitK: see its doc
       // hashes are < 2^52, so −hash is double-exact; top-k largest scores
       // = k smallest hashes, slot order = (hash asc, key asc)
       val kept = df.select(col(groupCol), h.cast("double").as("__h"), col(keyCol))

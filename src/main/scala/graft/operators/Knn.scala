@@ -128,7 +128,12 @@ object Knn {
       case _ =>
         if (!integralKey) "window"
         else if (k == 1) "nearest"
-        else if (k > TopKSlots.MaxK) "agg"
+        // JitK, not MaxK: at k ≥ 5 TopKSlots' generated update method
+        // exceeds the JVM's 8000-byte JIT limit and the whole span runs
+        // interpreted — measured 6–10× slower than the imperative path
+        // (TopKSlots.JitK scaladoc) — so the decl fusion win only exists
+        // while the method JIT-compiles
+        else if (k > TopKSlots.JitK) "agg"
         else if (smallJob) "agg"
         else "decl"
     }
@@ -277,7 +282,8 @@ object Knn {
   }
 
   /**
-   * General k (2 ≤ k ≤ [[TopKSlots.MaxK]], integral target keys) — the
+   * General k (routed for 2 ≤ k ≤ [[TopKSlots.JitK]]; constructible to
+   * MaxK for forced-path/spec use — integral target keys) — the
    * declarative fast path: per round the fresh-candidate stream
    * aggregates through the declarative [[TopKSlots]], whose
    * all-primitive fixed-width buffer lets HashAggregateExec fuse the
@@ -431,7 +437,7 @@ object Knn {
    * round: the TopKByScore hash aggregate, whose output row also carries
    * the resolution test. Coordinates must be finite (±∞ would collide
    * with the sentinel). Since the declarative [[applyDeclK]] landed this
-   * path serves k > [[TopKSlots.MaxK]] only (and path-equality specs). */
+   * path serves k > [[TopKSlots.JitK]] (and path-equality specs). */
   private[operators] def applyAgg(
       queries: DataFrame,
       qKey: String, qLat: String, qLon: String,

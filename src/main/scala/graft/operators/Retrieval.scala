@@ -144,20 +144,20 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("w")).as("score"))
 
-    if (k <= TopKSlots.MaxK) {
+    if (k <= TopKSlots.JitK) { // not MaxK: k >= 5 interpreted (JitK doc)
       // Declarative partial top-k: integer scores round-trip exactly
       // through the double-slot buffer ONLY below 2^53. The score bound is
       // sum_terms(tf · (N div df)) <= |query terms| · maxDoclen · N, which
       // a rare term in a long document CAN exceed at ~10^12 docs — above
       // 2^53 the double cast drops low bits and may reorder ties in the
       // top-k cut, so the cast fails loudly instead of silently (callers
-      // in that regime use k > MaxK to route to the exact row_number
+      // in that regime use k > JitK to route to the exact row_number
       // path, or pre-scale weights).
       val exactMax = 1L << 53
       val guarded = when(col("score") < lit(exactMax), col("score"))
         .otherwise(raise_error(format_string(
           "searchTopK score %s >= 2^53 for query %s: not exactly representable " +
-            "as double; use k > TopKSlots.MaxK (exact path) or scale weights",
+            "as double; use k > TopKSlots.JitK (exact path) or scale weights",
           col("score"), col("query_id"))).cast("long"))
       scored.groupBy("query_id")
         .agg(TopKByScore.topKSlots(k)(guarded.cast("double"), col("doc_id").cast("long"))

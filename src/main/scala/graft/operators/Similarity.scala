@@ -55,7 +55,7 @@ object Similarity {
    * Integral corpus keys take the map-side partial top-k aggregate (the
    * scale path: ≤ k rows per query per map task reach the exchange; key
    * round-trips through long losslessly and is cast back to its original
-   * type). For k ≤ [[TopKSlots.MaxK]] that is the DECLARATIVE
+   * type). For k ≤ [[TopKSlots.JitK]] that is the DECLARATIVE
    * [[TopKSlots]] — its fixed-width buffer fuses the partial aggregation
    * into the scoring codegen span (zero per-candidate allocation; the
    * typed-imperative form pays an ObjectHashAggregate span-boundary row
@@ -70,7 +70,7 @@ object Similarity {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    if (integral && k <= TopKSlots.MaxK) {
+    if (integral && k <= TopKSlots.JitK) { // not MaxK: k >= 5 interpreted
       scored.groupBy("__qk")
         .agg(TopKByScore.topKSlots(k)(col("cos"), col("__ck").cast("long")).as("__tk"))
         .select(col("__qk"), col("__tk.scores").as("__ss"),

@@ -104,15 +104,17 @@ object Sketches {
     estimate(aggSlots(hashes, coarseGroupCols, k), k)
   }
 
-  /** Bottom-k of `__kmv_h` per group. k <= MaxK rides the declarative
-   * TopKSlots (codegen-fused partials); larger sketches fall back to the
+  /** Bottom-k of `__kmv_h` per group. k <= JitK rides the declarative
+   * TopKSlots (codegen-fused partials; beyond JitK the generated update
+   * method blows the JVM's JIT huge-method limit and runs interpreted —
+   * measured 6-10x slower, see TopKSlots.JitK); larger sketches ride the
    * imperative TopKAggExpr — both emit `keys` sorted hash-ascending
    * (score = -hash descending; 52-bit magnitudes round-trip a double
    * exactly, so the negated score loses nothing). private[graft] so
    * [[graft.SketchBench]] can time the two aggregate paths in isolation. */
   private[graft] def aggSlots(hashes: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val slots =
-      if (k <= TopKSlots.MaxK)
+      if (k <= TopKSlots.JitK) // not MaxK: k >= 5 runs interpreted (JitK doc)
         TopKByScore.topKSlots(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))
       else
         TopKByScore.topK(k)(negate(col("__kmv_h").cast("double")), col("__kmv_h"))

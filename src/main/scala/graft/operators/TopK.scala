@@ -378,9 +378,23 @@ object TopKSlots {
   val SentinelScore: Double = Double.NegativeInfinity
   val SentinelKey: Long = Long.MaxValue
 
-  /** Beyond this, the O(k²) merge-expression size stops paying for the
-   * codegen fusion — [[TopKAggExpr]] (ObjectHashAggregate) takes over. */
+  /** Hard constructor cap: beyond this the O(k²) merge-expression tree
+   * is unreasonable to even generate — [[TopKAggExpr]]
+   * (ObjectHashAggregate) takes over. */
   val MaxK: Int = 16
+
+  /** Largest k whose GENERATED UPDATE METHOD stays under the JVM's
+   * 8000-byte JIT huge-method limit (-XX:HugeMethodLimit, not tunable
+   * without -XX:-DontCompileHugeMethods): measured update-method
+   * bytecode 8742 B at k = 5 and 30023 B at k = 16 ("Generated method
+   * too long to be JIT compiled"), at which point the whole-stage span
+   * containing the aggregate runs INTERPRETED — measured 77 s (k = 8)
+   * and 132 s (k = 16) vs 13 s imperative for the same 100M-row
+   * bottom-k build, a 6–10× cliff that erases the fusion win. Routing
+   * call sites (Knn, Sketches, Similarity, Curation, Retrieval) pick the
+   * declarative form only for k ≤ JitK; k = JitK+1..MaxK remains
+   * constructible for path-equality specs and forced-path debugging. */
+  val JitK: Int = 4
 
   /** Orderable proxy: ascending (order_key, key) == (score desc with NaN
    * largest, key asc). order_key = −score, except NaN → −∞ (negation

@@ -145,8 +145,9 @@ class CurationSpec extends AnyFunSuite {
   test("capPerGroup: slots path matches brute force and the window path") {
     val rows = (0L until 200L).map(k => k -> s"dom${k % 5}")
     val df = rows.toDF("doc_id", "source")
-    val want = bruteCap(rows, cap = 8, salt = "s1")
-    val slots = Curation.capPerGroup(df, "source", "doc_id", 8, "s1")
+    val want = bruteCap(rows, cap = 4, salt = "s1")
+    // cap 4 = TopKSlots.JitK: the largest cap still on the slots path
+    val slots = Curation.capPerGroup(df, "source", "doc_id", 4, "s1")
       .select("doc_id").as[Long].collect().toSet
     assert(slots == want)
     // force the window path with a cap above the slot limit, then compare

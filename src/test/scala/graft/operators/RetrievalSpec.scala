@@ -60,16 +60,16 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("declarative and window ranking paths agree") {
-    // force the window path with k above the declarative slot cap
+    // force the window path with k above the declarative JIT cap
     val wide = Retrieval.searchTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
         queries.toDF("query_id", "term"), TopKSlots.MaxK + 1)
       .select("query_id", "doc_id", "score", "rank")
       .as[(Long, Long, Long, Long)].collect().toSet
     val narrow = Retrieval.searchTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
-        queries.toDF("query_id", "term"), TopKSlots.MaxK)
+        queries.toDF("query_id", "term"), TopKSlots.JitK)
       .select("query_id", "doc_id", "score", "rank")
       .as[(Long, Long, Long, Long)].collect().toSet
-    // fewer docs than MaxK: identical result sets
+    // fewer docs than either k: identical result sets
     assert(wide == narrow)
   }
 

@@ -30,15 +30,15 @@ class SimilaritySpec extends AnyFunSuite {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qk").orderBy(col("cos").desc, col("__ck"))
     val windowed = scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 7)
+      .where(col("rank") <= 4)
       .select(col("__qk"), col("__ck"), col("cos"), col("rank"))
       .as[(Long, Long, Double, Int)].collect().toSet
-    val agg = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 7)
+    val agg = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 4)
       .select(col("q"), col("vec_id"), col("cos"), col("rank"))
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(agg == windowed)
     // and the plan is an aggregate, not a window over the full scored set
-    val plan = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 7)
+    val plan = Similarity.bruteTopK(queries, "q", "embedding", emb, "vec_id", "embedding", 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "ranking should not use a window")
     // the declarative TopKSlots buffer is all-primitive, so the partial

@@ -164,7 +164,9 @@ class SpatialOpsSpec extends AnyFunSuite {
   }
 
   test("kNN general-k declarative path equals the imperative aggregate path") {
-    // Knn.apply now routes 2 <= k <= TopKSlots.MaxK through applyDeclK
+    // Knn.apply routes 2 <= k <= TopKSlots.JitK through applyDeclK (k >= 5
+    // runs the slots update interpreted — JitK doc); both private paths
+    // stay result-identical across the full constructible range:
     // (TopKSlots, HashAggregate-fused); the imperative applyAgg
     // (TopKAggExpr, ObjectHashAggregate) must produce the identical rows
     // INCLUDING distances — call both directly on the same fixture
