@@ -104,6 +104,124 @@ object SparkEntry {
        |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r$iters""".stripMargin
   }
 
+  /** DuckDB mirror of Graph.hits over the q99 orders-derived graph:
+   * `iters` unnormalized I/O rounds unrolled — exact long sums (DuckDB
+   * HUGEINT sums cast back; values bounded by Graph.hits's d^(2t−1)
+   * bound, far below 2^63 on this graph). */
+  private def hitsSql(iters: Int): String = {
+    def round(k: Int): String =
+      s"""a$k AS (SELECT n.node, coalesce(s.s, 0) AS auth FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node, sum(h.hub) AS s FROM e JOIN h${k - 1} h ON e.src = h.node
+         |  GROUP BY e.dst) s ON n.node = s.node),
+         |h$k AS (SELECT n.node, coalesce(s.s, 0) AS hub FROM nodes n LEFT JOIN (
+         |  SELECT e.src AS node, sum(a.auth) AS s FROM e JOIN a$k a ON e.dst = a.node
+         |  GROUP BY e.src) s ON n.node = s.node)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT CAST(h.node AS BIGINT) AS node, CAST(h.hub AS BIGINT) AS hub,
+       |  CAST(a.auth AS BIGINT) AS auth
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node""".stripMargin
+  }
+
+  /** DuckDB mirror of Curation.curate with the q119 fixture/config: each
+   * stage replayed over the previous stage's survivors; IN/NOT IN
+   * subqueries carry the survivor sets (doc ids are non-null, so NOT IN
+   * is safe). Stage expressions are shared with their standalone oracles
+   * (q17 lang cases, q13 band join, q57 recursive closure, q85 grams,
+   * q88 cap order, q108 split bounds). */
+  private lazy val curationPipelineSql: String = {
+    // q17's language scorer, over the d0 CTE
+    val cases = TextAnalysis.LangStopwords.map { case (l, sw) =>
+      val set = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($set, t))) AS s_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    val swAll = TextAnalysis.LangStopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val capHash = "CAST(('0x' || substr(md5(doc_id::VARCHAR || ':cur-v1'), 1, 13)) AS BIGINT)"
+    val splitHash = "CAST(('0x' || substr(md5(source || ':cur-sp'), 1, 13)) AS BIGINT)"
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 50 = 0),
+       |lsc AS (SELECT doc_id, $cases FROM d0),
+       |lb AS (SELECT *, $best AS best FROM lsc),
+       |k1 AS (SELECT doc_id FROM lb WHERE $pred IN ('en', 'fr', 'es')),
+       |s1 AS (SELECT * FROM d0 WHERE doc_id IN (SELECT doc_id FROM k1)),
+       |d1 AS (SELECT doc_id, source, 'lang' AS stage FROM d0
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM k1)),
+       |qm AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+       |  len(list_filter(string_split(lower(text), ' '), t -> list_contains($swAll, t))) AS sw
+       |  FROM s1),
+       |k2 AS (SELECT doc_id FROM qm WHERE nt >= 20 AND sw * 100 >= nt * 2),
+       |s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM k2)),
+       |d2 AS (SELECT doc_id, source, 'quality' AS stage FROM s1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM k2)),
+       |dgg AS (SELECT doc_id, text, source, md5(text) AS g FROM s2),
+       |k3m AS (SELECT g, min(doc_id) AS keep FROM dgg GROUP BY g),
+       |s3 AS (SELECT dgg.doc_id, dgg.text, dgg.source FROM dgg JOIN k3m USING (g)
+       |       WHERE doc_id = keep),
+       |d3 AS (SELECT dgg.doc_id, dgg.source, 'exact_dup' AS stage FROM dgg
+       |       JOIN k3m USING (g) WHERE doc_id <> keep),
+       |sets AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM s3),
+       |shx AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |mh AS (SELECT doc_id, j.h_idx,
+       |    min(substring(md5(s), CAST(j.h_idx*4 + 1 AS INTEGER), 4)) AS min_hash
+       |  FROM shx CROSS JOIN (SELECT unnest(range(8)) AS h_idx) j GROUP BY doc_id, j.h_idx),
+       |bk AS (SELECT doc_id, h_idx // 2 AS band,
+       |  array_to_string(list_sort(list(lpad(h_idx::VARCHAR, 4, '0') || '=' || min_hash)), '|') AS band_key
+       |  FROM mh GROUP BY doc_id, h_idx // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT key_a, key_b FROM (
+       |  SELECT key_a, key_b,
+       |    round(len(list_filter(a.sh, v -> list_contains(b.sh, v)))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v)))), 4) AS jaccard
+       |  FROM cand JOIN sets a ON a.doc_id = key_a JOIN sets b ON b.doc_id = key_b)
+       |  WHERE jaccard >= 0.05),
+       |edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+       |          UNION SELECT key_b, key_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+       |drop4 AS (SELECT key AS doc_id FROM (
+       |  SELECT src AS key, least(src, min(dst)) AS component FROM reach GROUP BY src)
+       |  WHERE key <> component),
+       |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
+       |d4 AS (SELECT doc_id, source, 'near_dup' AS stage FROM s3
+       |       WHERE doc_id IN (SELECT doc_id FROM drop4)),
+       |bg AS (SELECT DISTINCT unnest(${ngramsSql("text", 4)}) AS g
+       |       FROM documents WHERE doc_id % 97 = 0),
+       |hit5 AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_id, unnest(${ngramsSql("text", 4)}) AS g FROM s4) dgx
+       |  JOIN bg USING (g)),
+       |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hit5)),
+       |d5 AS (SELECT doc_id, source, 'contaminated' AS stage FROM s4
+       |       WHERE doc_id IN (SELECT doc_id FROM hit5)),
+       |capd AS (SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source ORDER BY $capHash, doc_id) AS rn
+       |  FROM s5),
+       |d6 AS (SELECT doc_id, source, 'capped' AS stage FROM capd WHERE rn > 4),
+       |kept AS (SELECT doc_id, source, 'kept' AS stage,
+       |  CASE WHEN $splitHash < (9 * 4503599627370496) // 10
+       |       THEN 'train' ELSE 'valid' END AS split
+       |  FROM capd WHERE rn <= 4)
+       |SELECT doc_id, source, stage, CAST(NULL AS VARCHAR) AS split FROM d1
+       |UNION ALL SELECT doc_id, source, stage, NULL FROM d2
+       |UNION ALL SELECT doc_id, source, stage, NULL FROM d3
+       |UNION ALL SELECT doc_id, source, stage, NULL FROM d4
+       |UNION ALL SELECT doc_id, source, stage, NULL FROM d5
+       |UNION ALL SELECT doc_id, source, stage, NULL FROM d6
+       |UNION ALL SELECT doc_id, source, stage, split FROM kept""".stripMargin
+  }
+
   /** DuckDB mirror of Dedup.simhash64 (shared by q52/q53). */
   private val Sim64SqlCte =
     """WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
@@ -387,6 +505,54 @@ object SparkEntry {
         kClusters = 8, iters = 2, tau = 0.95)
         .withColumn("kept", col("kept").cast("int"))
     }),
+
+    // the composite curation pipeline — the LLM-pipeline counterpart of
+    // q116's crawl front door: lang → quality → exact dedup → near-dup
+    // components → benchmark decontamination → per-source cap →
+    // leakage-safe split, each stage over the previous stage's survivors,
+    // every input doc labeled with the first stage that dropped it.
+    // Exact copies (doc_id+100000 of doc_id % 50 == 0) exercise the
+    // exact-dup stage; the benchmark slice (doc_id % 97 == 0) is ALSO in
+    // the corpus, so stage 5 provably fires on its surviving members.
+    "q119_curation_pipeline" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val withCopies = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(docs.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("source")))
+      Curation.curate(withCopies, "doc_id", "text", "source",
+        benchmark = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        keepLangs = Seq("en", "fr", "es"),
+        minTokens = 20, minStopPct = 2,
+        bands = 4, rowsPerBand = 2, threshold = 0.05, nGram = 4,
+        capPerSource = 4, capSalt = "cur-v1",
+        splits = Seq(("train", 9L), ("valid", 1L)), splitSalt = "cur-sp")
+    }),
+
+    // zoom pyramid: base raster at zoom 3 rolled up level-by-level to
+    // zoom 0 — each level derives from the PREVIOUS level's pixel rows
+    // (points scanned once); exact because halving payload coords IS the
+    // coarser encoding (the oracle computes every level the direct way)
+    "q120_tile_pyramid" -> ((s, d) =>
+      Tiler.rasterPyramid(customerPoints(s, d), "lat", "lon", zoom = 3, minZoom = 0)
+        .select(col("tile_id"), col("zoom").cast("long").as("zoom"),
+          col("pix_x").cast("long").as("pix_x"),
+          col("pix_y").cast("long").as("pix_y"), col("n"))),
+
+    // quadkey: prefix-hierarchical tile key (parent = string prefix — the
+    // layout-friendly sort key for tile stores); pure codegen'd bit/string
+    // algebra over the cell index
+    "q121_quadkey" -> ((s, d) =>
+      customerPoints(s, d).select(col("c_custkey"),
+        Tiler.quadkey(col("lat"), col("lon"), zoom = 6).as("qk"))),
+
+    // HITS hubs/authorities over the q99 orders-derived link graph —
+    // unnormalized exact-integer variant (values = alternating-path
+    // counts), 2 I/O rounds; order is what ranking consumes
+    "q122_hits" -> ((s, d) =>
+      Graph.hits(
+        tbl(s, d, "orders").select((col("o_custkey") % 200).as("src"),
+          (col("o_orderkey") % 200).as("dst")),
+        "src", "dst", iterations = 2)),
 
     // ---- tool-facade round-out: every remaining SURVEY §2 operator gets an
     // exact closed-form oracle over the PagesFromDocs fixture --------------
@@ -2360,6 +2526,52 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
          |FROM cass a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
     },
+
+    // q119: every curation stage replayed in SQL over the SURVIVORS of
+    // the previous stage, exactly like Curation.curate chains them —
+    // lang/quality are the q17/q18 expressions, exact dedup is the q11
+    // min-key rule, near-dup is the q13 band join + q57 recursive
+    // components restricted to stage-3 survivors, decontamination is the
+    // q85 gram probe, the cap is the q88 (hash, key) row_number, the
+    // split is the q108 hash-bound CASE
+    "q119_curation_pipeline" -> curationPipelineSql,
+
+    // q120: every pyramid level computed the DIRECT way (encode points at
+    // each zoom's payload resolution) — equal to the Spark side's
+    // level-from-level rollup because floor(x·2^k) >> d == floor(x·2^(k−d))
+    // for x ≥ 0 (the exact-hierarchy property)
+    "q120_tile_pyramid" ->
+      (s"""WITH $PointsSqlCte,
+         |z AS (SELECT CAST(x AS BIGINT) AS zm FROM range(0, 4) t(x)),
+         |enc AS (SELECT zm,
+         |  CAST(floor(((lon + 180.0)/360.0) * CAST(1::BIGINT << CAST(zm + 4 AS INTEGER) AS DOUBLE)) AS BIGINT) AS ixp,
+         |  CAST(floor(((lat + 90.0)/180.0) * CAST(1::BIGINT << CAST(zm + 4 AS INTEGER) AS DOUBLE)) AS BIGINT) AS iyp
+         |  FROM pts CROSS JOIN z)
+         |SELECT (zm << 58) | ((ixp // 16) << 29) | (iyp // 16) AS tile_id,
+         |  zm AS zoom, ixp % 16 AS pix_x, iyp % 16 AS pix_y, count(*) AS n
+         |FROM enc GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    // q121: identical floor arithmetic at res 6, then the 6 two-bit
+    // quadrant digits concatenated — generated from the same zoom
+    // constant as the Spark side
+    "q121_quadkey" -> {
+      val zoom = 6
+      val digits = (1 to zoom).map { l =>
+        s"CAST(((ixp >> ${zoom - l}) & 1) + 2*((iyp >> ${zoom - l}) & 1) AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH $PointsSqlCte,
+         |enc AS (SELECT c_custkey,
+         |  CAST(floor(((lon + 180.0)/360.0) * ${1 << zoom}.0) AS BIGINT) AS ixp,
+         |  CAST(floor(((lat + 90.0)/180.0) * ${1 << zoom}.0) AS BIGINT) AS iyp
+         |  FROM pts)
+         |SELECT c_custkey, $digits AS qk FROM enc""".stripMargin
+    },
+
+    // q122: the two I/O HITS rounds unrolled — long sums are order-free,
+    // so the unnormalized integer scores are bit-identical; DuckDB's
+    // HUGEINT sums cast back to BIGINT (values bounded far below 2^63 by
+    // the d_max^(2t-1) bound in Graph.hits)
+    "q122_hits" -> hitsSql(2),
 
     // q41: the sign-LSH hyperplanes are deterministic data-independent
     // constants, so the oracle inlines the SAME values as literal arrays

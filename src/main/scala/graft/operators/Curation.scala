@@ -246,4 +246,114 @@ object Curation {
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /**
+   * The end-to-end curation screen a pretraining-data operator actually
+   * runs — the LLM-pipeline counterpart of the q116 crawl front door:
+   * SEVEN stages chained over one document table, each applied to the
+   * SURVIVORS of the previous (ordering is semantics: an exact-dup
+   * canonical is chosen among in-language, quality-passing docs — a doc
+   * rejected upstream can't shield a later duplicate), each rejection
+   * labeled with the FIRST stage that fired. Output: one row per input
+   * doc — (key, source, stage, split) with stage ∈ {lang, quality,
+   * exact_dup, near_dup, contaminated, capped, kept} and split non-null
+   * only for kept docs.
+   *
+   * Stages (all existing oracled operators — this composite exists to
+   * catch column-contract drift between them, like q116 does for the
+   * crawl stack):
+   *  1. lang         — [[TextAnalysis.langId]] prediction ∉ keepLangs
+   *  2. quality      — tokens < minTokens OR stopword·100 < tokens·minStopPct
+   *                    (all-integer cross-multiply: no ratio rounding to
+   *                    diverge on)
+   *  3. exact_dup    — md5(text) group, min-key survivor ([[Dedup.exact]])
+   *  4. near_dup     — MinHash-LSH pairs → connected components, min-key
+   *                    canonical survives ([[Dedup.minhashLsh]]/dropKeys)
+   *  5. contaminated — shares ≥1 word n-gram with `benchmark`
+   *                    ([[decontaminate]])
+   *  6. capped       — beyond the per-source deterministic cap
+   *                    ([[capPerGroup]])
+   *  7. kept         — split assigned leakage-safe by source group hash
+   *                    ([[splitByGroup]])
+   *
+   * Scale shape: stages 1-2 are scan-side projections; 3 is one digest
+   * groupBy (digests shuffle, never text); 4 shuffles shingle minima and
+   * band keys (the q13 plan); 5 broadcasts the benchmark gram set; 6
+   * ships ≤ cap slot rows per (source, task); 7 is a stateless CASE.
+   * Stage composition adds semi/anti equi-joins on the doc key only —
+   * document text crosses the wire exactly where the underlying operator
+   * already shipped it. OWNERSHIP: like q57, the near-dup stage's
+   * component labels ride a localCheckpoint that [[Dedup.dropKeys]]
+   * releases internally; the returned frame owns no extra blocks.
+   */
+  def curate(
+      docs: DataFrame,
+      key: String, text: String, source: String,
+      benchmark: DataFrame,
+      keepLangs: Seq[String],
+      minTokens: Int, minStopPct: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double, nGram: Int,
+      capPerSource: Int, capSalt: String,
+      splits: Seq[(String, Long)], splitSalt: String): DataFrame = {
+    require(keepLangs.nonEmpty && minTokens >= 0 && minStopPct >= 0)
+    val base = docs.select(col(key).as("__k"), col(text).as("__txt"),
+      col(source).as("__src"))
+
+    def drops(df: DataFrame, stage: String): DataFrame =
+      df.select(col("__k"), col("__src"), lit(stage).as("stage"),
+        lit(null).cast("string").as("split"))
+
+    // 1. language
+    val lang = TextAnalysis.langId(base, "__k", "__txt")
+      .where(col("pred_lang").isInCollection(keepLangs)).select(col("__k"))
+    val s1 = base.join(lang, Seq("__k"), "left_semi")
+    val d1 = drops(base.join(lang, Seq("__k"), "left_anti"), "lang")
+
+    // 2. quality (integer-exact: counts and a cross-multiplied ratio)
+    val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct
+    val q = s1
+      .withColumn("__nt", size(split(col("__txt"), " ")).cast("long"))
+      .withColumn("__sw",
+        size(filter(split(lower(col("__txt")), " "), t => t.isInCollection(sw)))
+          .cast("long"))
+    val okQ = col("__nt") >= minTokens &&
+      col("__sw") * 100 >= col("__nt") * minStopPct
+    val s2 = q.where(okQ).drop("__nt", "__sw")
+    val d2 = drops(q.where(!okQ), "quality")
+
+    // 3. exact dedup among survivors: min-key per digest survives
+    val dg = s2.withColumn("__dg", md5(col("__txt").cast("binary")))
+    val keep3 = dg.groupBy("__dg").agg(min(col("__k")).as("__keep"))
+    val s3 = dg.join(keep3, "__dg").where(col("__k") === col("__keep"))
+      .drop("__dg", "__keep")
+    val d3 = drops(dg.join(keep3, "__dg").where(col("__k") =!= col("__keep")),
+      "exact_dup")
+
+    // 4. near-dup components among survivors: min-key canonical survives
+    val pairs = Dedup.minhashLsh(s3, "__k", "__txt", bands, rowsPerBand, threshold)
+    val drop4 = Dedup.dropKeys(pairs, "key_a", "key_b")
+      .select(col("drop_key").as("__k"))
+    val s4 = s3.join(drop4, Seq("__k"), "left_anti")
+    val d4 = drops(s3.join(drop4, Seq("__k"), "left_semi"), "near_dup")
+
+    // 5. benchmark decontamination (benchmark must carry the SAME text
+    // column name as docs; normalized here to the internal name)
+    val bench = benchmark.select(col(text).as("__txt"))
+    val hit5 = decontaminate(s4, bench, "__k", "__txt", nGram)
+      .select(col("__k"))
+    val s5 = s4.join(hit5, Seq("__k"), "left_anti")
+    val d5 = drops(s4.join(hit5, Seq("__k"), "left_semi"), "contaminated")
+
+    // 6. per-source cap
+    val s6 = capPerGroup(s5, "__src", "__k", capPerSource, capSalt)
+    val d6 = drops(s5.join(s6.select("__k"), Seq("__k"), "left_anti"), "capped")
+
+    // 7. leakage-safe split for the kept set
+    val kept = splitByGroup(s6, "__src", splits, splitSalt)
+      .select(col("__k"), col("__src"), lit("kept").as("stage"), col("split"))
+
+    Seq(d1, d2, d3, d4, d5, d6, kept).reduce(_ unionByName _)
+      .select(col("__k").as(key), col("__src").as(source),
+        col("stage"), col("split"))
+  }
 }

@@ -157,4 +157,68 @@ object Graph {
     }
     readIter(iterations)
   }
+
+  /**
+   * HITS hubs/authorities (Kleinberg, "Authoritative sources in a
+   * hyperlinked environment", JACM 1999) — the UNNORMALIZED exact-integer
+   * variant: starting from h₀ ≡ 1, each iteration applies Kleinberg's I
+   * operation then O operation
+   *
+   *   aᵢ(v) = Σ_{(u,v)∈E} hᵢ₋₁(u)      (authority = sum of in-hub scores)
+   *   hᵢ(u) = Σ_{(u,v)∈E} aᵢ(v)        (hub = sum of out-authority scores)
+   *
+   * WITHOUT the per-iteration L2 normalization. Normalization only
+   * rescales (it never reorders), and dropping it keeps every value an
+   * exact 64-bit path count — aᵢ(v) counts alternating back-forward link
+   * paths of length 2i−1 ending at v — so long sums are
+   * partitioning/retry/order-invariant and a SQL oracle replays the
+   * computation bit-for-bit (the same determinism contract as
+   * [[pageRank]]'s fixed-point arithmetic; float HITS would be
+   * shuffle-order nondeterministic). Ranking consumers use the ORDER.
+   *
+   * Overflow bound (why `iterations` ≤ 3): values grow by a factor
+   * ≤ d_in·d_out per iteration, so a_t ≤ (d_max)^(2t−1) — at the 64-bit
+   * limit this admits d_max up to ~2000 for t = 3. Spark's ANSI mode
+   * makes a violation THROW (long-sum overflow), never silently wrap;
+   * DuckDB's HUGEINT sums would diverge silently past 2^63, so the cap
+   * is a correctness precondition, not a style choice.
+   *
+   * Scale shape per iteration: two equi-joins score ⋈ edges (src then
+   * dst) + two long-sum aggregates — identical exchange pattern to
+   * [[pageRank]]'s step, bucket the edge table by src/dst once on a
+   * cluster. The ≤3-round unroll keeps the whole plan a short static DAG,
+   * so no per-round checkpointing is needed (contrast the 64-round
+   * PageRank loop).
+   *
+   * @param edges directed (src, dst); duplicates collapse like [[pageRank]]
+   * @return (node, hub, auth) for every node appearing in an edge
+   */
+  def hits(edges: DataFrame, src: String, dst: String, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 3,
+      s"hits iterations in [1,3] (got $iterations): see the overflow bound")
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // reused 2·iterations times: cut lineage once
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = nodes.join(
+          e.join(hub.select(col("node").as("src"), col("hub")), "src")
+            .groupBy("dst").agg(sum("hub").as("__s"))
+            .select(col("dst").as("node"), col("__s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("auth"))
+      hub = nodes.join(
+          e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+            .groupBy("src").agg(sum("auth").as("__s"))
+            .select(col("src").as("node"), col("__s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("hub"))
+    }
+    hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
+  }
 }

@@ -79,6 +79,92 @@ object Tiler {
   }
 
   /**
+   * Zoom-pyramid rollup: a raster level at `zoom` (the output of
+   * [[raster]]) rolled up to every level down to `minZoom`, returned as
+   * the UNION of levels minZoom..zoom (same sparse schema, `zoom` column
+   * distinguishes). The north rule's "raster↔vector tile materialization
+   * at zoom-pinned resolutions" needs the whole pyramid, not one level —
+   * a map client reads whichever zoom it is at.
+   *
+   * EXACT by the grid hierarchy (CellIndexSpec "hierarchy is exact"): a
+   * payload cell at res z+4 has global coords IX = ix(tile)·16 + pix_x,
+   * and halving them (IX >> 1) IS the direct encoding at zoom z−1, so a
+   * coarser pixel's count is exactly the sum of its ≤4 children — level
+   * z−1 derives from level z ALONE. That is the 100-TB shape: the points
+   * are scanned ONCE (for the base raster); each coarser level shuffles
+   * only the previous level's non-empty PIXEL rows (≤ |points|, shrinking
+   * ~4× per level), so a 12-level pyramid over 10^12 points costs one
+   * point scan plus a geometric tail of tiny integer aggregations. The
+   * alternative — re-encoding the points per level — scans the corpus
+   * `zoom − minZoom` times for identical output (the q120 oracle proves
+   * the identity by computing every level the direct way).
+   */
+  def pyramid(rasterZ: DataFrame, zoom: Int, minZoom: Int): DataFrame = {
+    require(minZoom >= 0 && minZoom <= zoom,
+      s"minZoom $minZoom out of [0, $zoom]")
+    val mask = (1L << 29) - 1
+    var levels = List(rasterZ)
+    var cur = rasterZ
+    for (z <- (zoom - 1) to minZoom by -1) {
+      // global payload coords at level z+1, halved = level-z payload coords
+      cur = cur.select(
+          shiftright(
+            shiftright(col("tile_id"), 29).bitwiseAND(lit(mask)) * SubGridSize
+              + col("pix_x"), 1).as("__gx"),
+          shiftright(
+            col("tile_id").bitwiseAND(lit(mask)) * SubGridSize + col("pix_y"),
+            1).as("__gy"),
+          col("n"))
+        .groupBy(
+          (lit(z.toLong << 58)
+            .bitwiseOR(shiftleft(shiftright(col("__gx"), SubGridBits), 29))
+            .bitwiseOR(shiftright(col("__gy"), SubGridBits))).as("tile_id"),
+          (col("__gx") % SubGridSize).cast("int").as("pix_x"),
+          (col("__gy") % SubGridSize).cast("int").as("pix_y"))
+        .agg(sum("n").as("n"))
+        .withColumn("zoom", lit(z))
+        .select("tile_id", "zoom", "pix_x", "pix_y", "n")
+      levels ::= cur
+    }
+    levels.reverse.reduce(_ unionByName _)
+  }
+
+  /** [[raster]] at `zoom`, then the [[pyramid]] down to `minZoom` — one
+   * point scan, zoom−minZoom+1 levels. */
+  def rasterPyramid(points: DataFrame, lat: String, lon: String,
+      zoom: Int, minZoom: Int): DataFrame =
+    pyramid(raster(points, lat, lon, zoom), zoom, minZoom)
+
+  /**
+   * Bing-maps-style quadkey string of the grid cell containing (lat,
+   * lon) at `zoom`: digit l (l = 1..zoom) = the level-l quadrant,
+   * encoded ix-bit + 2·iy-bit ∈ {0,1,2,3} — so a tile's quadkey is its
+   * parent's quadkey plus one digit, and `startswith(qk, parentQk)`
+   * tests cell containment as a plain string prefix (the property that
+   * makes quadkeys the layout-friendly sort key for tile stores: a RANGE
+   * partition on quadkey co-locates whole subtrees, and a zoom-10 prefix
+   * scan reads one contiguous key range). y grows north (our grid), not
+   * Bing's screen-south — the digit algebra is identical.
+   *
+   * Pure Column algebra over the [[graft.functions.cell_id]] bits —
+   * codegen'd builtins, no UDF; zoom is pinned at plan time so the
+   * concat unrolls to `zoom` two-bit extracts.
+   */
+  def quadkey(lat: org.apache.spark.sql.Column, lon: org.apache.spark.sql.Column,
+      zoom: Int): org.apache.spark.sql.Column = {
+    require(zoom >= 1 && zoom <= 29, s"zoom $zoom out of [1, 29]")
+    val cell = cell_id(lat, lon, zoom)
+    val mask = (1L << 29) - 1
+    val ix = shiftright(cell, 29).bitwiseAND(lit(mask))
+    val iy = cell.bitwiseAND(lit(mask))
+    val digits = (1 to zoom).map { l =>
+      (shiftright(ix, zoom - l).bitwiseAND(lit(1L))
+        + shiftright(iy, zoom - l).bitwiseAND(lit(1L)) * 2).cast("string")
+    }
+    concat(digits: _*)
+  }
+
+  /**
    * Vector tiles: (tile_id, zoom, features) where features = array of
    * (key, entity_idx, cell_id) structs sorted by (key, entity_idx) —
    * deterministic bytes for snapshot sinks (SURVEY §7.4-5).

@@ -219,4 +219,64 @@ class CurationSpec extends AnyFunSuite {
       .select("source", "split").distinct().as[(String, String)].collect().toMap
     assert(resalted != groupSplit)
   }
+
+  test("curate: total function, stage order respected, stages agree with the standalone ops") {
+    // deterministic corpus: three languages (en/de/und by construction),
+    // short docs, an exact-duplicate pair, a benchmark hit, a hot source
+    def txt(i: Long): String = {
+      val lang = i % 3 match {
+        case 0 => "the cat of the house and the dog it is in the yard to stay"
+        case 1 => "der hund und die katze ist ein tier zu haus den tag der der"
+        case _ => "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"
+      }
+      // "the cat": passes lang (en, stopword hit) but fails minTokens=5,
+      // so the QUALITY stage provably fires (residue 10 keeps docs 0/3/6
+      // — the copy/benchmark anchors — out of this branch)
+      if (i % 11 == 10) "the cat"
+      else s"$lang token$i extra words number ${i % 7} pad pad pad"
+    }
+    val rows = (0L until 120L).map(i => (i, txt(i), s"s${i % 3}"))
+    // exact copies of docs 0, 3 (both en, long) under new keys
+    val all = rows ++ Seq((1000L, txt(0L), "s0"), (1003L, txt(3L), "s0"))
+    val df = all.toDF("doc_id", "text", "source")
+    val bench = Seq((9999L, txt(6L))).toDF("doc_id", "text") // hits doc 6 family
+    val out = Curation.curate(df, "doc_id", "text", "source",
+      benchmark = bench, keepLangs = Seq("en", "de"),
+      minTokens = 5, minStopPct = 1,
+      bands = 4, rowsPerBand = 2, threshold = 0.05, nGram = 4,
+      capPerSource = 4, capSalt = "cs", splits = Seq(("train", 3L), ("valid", 1L)),
+      splitSalt = "sp")
+      .as[(Long, String, String, String)].collect()
+    // total: every input key exactly once, stage labels closed
+    assert(out.map(_._1).sorted.toSeq == all.map(_._1).sorted)
+    val stages = Set("lang", "quality", "exact_dup", "near_dup",
+      "contaminated", "capped", "kept")
+    assert(out.forall(r => stages(r._3)))
+    // split non-null iff kept
+    assert(out.forall(r => (r._3 == "kept") == (r._4 != null)))
+    val byStage = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    // stage 1 ≡ standalone langId over the full input
+    val langDrop = TextAnalysis.langId(df, "doc_id", "text")
+      .where(!col("pred_lang").isInCollection(Seq("en", "de")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(byStage.getOrElse("lang", Set.empty) == langDrop)
+    // stage 2 fires exactly on the in-language short docs
+    assert(byStage.getOrElse("quality", Set.empty) ==
+      all.collect { case (k, t, _) if t == "the cat" => k }.toSet -- langDrop)
+    // stage 3 fires on the synthesized copies (their originals survive)
+    val exactDrops = byStage.getOrElse("exact_dup", Set.empty)
+    assert(exactDrops.contains(1000L) && exactDrops.contains(1003L))
+    assert(out.collect { case (k, _, s, _) if k == 0L || k == 3L => s }
+      .forall(s => s != "exact_dup" && s != "lang" && s != "quality"))
+    // the benchmark-hit doc never reaches kept
+    assert(out.collectFirst { case (6L, _, s, _) => s }
+      .exists(s => s == "contaminated" || s == "near_dup" || s == "exact_dup"))
+    // cap: at most 4 kept + capped drops exist iff a source exceeded 4
+    val keptBySrc = out.filter(_._3 == "kept").groupBy(_._2).view.mapValues(_.length)
+    assert(keptBySrc.values.forall(_ <= 4))
+    // split is constant per source among kept
+    val splitBySrc = out.filter(_._3 == "kept").groupBy(_._2)
+      .view.mapValues(_.map(_._4).toSet)
+    assert(splitBySrc.values.forall(_.size == 1))
+  }
 }

@@ -113,4 +113,47 @@ class GraphSpec extends AnyFunSuite {
     assert(byWave.keySet == Set(0, 1, 2))
     assert(byWave.values.forall(_ == 3L))
   }
+
+  /** Driver-side HITS mirror: unnormalized I (auth) then O (hub). */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auth = nodes.map(v => v -> e.collect { case (u, d) if d == v => hub(u) }.sum).toMap
+      hub = nodes.map(u => u -> e.collect { case (s, v) if s == u => auth(v) }.sum).toMap
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("HITS matches the unnormalized integer reference for 1-3 iterations") {
+    for (iters <- 1 to 3; g <- Seq(triangle, web)) {
+      val got = Graph.hits(g.toDF("s", "d"), "s", "d", iters)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == refHits(g, iters), s"iters=$iters graph=$g")
+    }
+    // duplicate edges collapse (a page linking twice votes once)
+    val got = Graph.hits((web ++ web).toDF("s", "d"), "s", "d", 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == refHits(web, 2))
+  }
+
+  test("HITS hub/authority structure: the pure hub tops hubs, the pure sink tops authorities") {
+    // web: node 1 links to 2,3,4 (hub); node 4 is linked by 1,2,3 (authority)
+    val got = Graph.hits(web.toDF("s", "d"), "s", "d", 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == got.values.map(_._1).max, "node 1 is the top hub")
+    assert(got(4L)._2 == got.values.map(_._2).max, "node 4 is the top authority")
+  }
+
+  test("HITS is partitioning-invariant and rejects iteration counts past the overflow bound") {
+    val df = web.toDF("s", "d")
+    val a = Graph.hits(df.repartition(1), "s", "d", 2).as[(Long, Long, Long)].collect().toSet
+    val b = Graph.hits(df.repartition(7, col("s")), "s", "d", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](Graph.hits(df, "s", "d", 0))
+    intercept[IllegalArgumentException](Graph.hits(df, "s", "d", 4))
+  }
 }

@@ -314,6 +314,46 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._4).sum == pts.length)
   }
 
+  test("pyramid: every rolled-up level equals the direct raster at that zoom") {
+    val zoom = 4
+    val got = Tiler.rasterPyramid(ptsDf, "lat", "lon", zoom, minZoom = 0)
+      .select("tile_id", "zoom", "pix_x", "pix_y", "n")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    val want = (0 to zoom).flatMap { z =>
+      Tiler.raster(ptsDf, "lat", "lon", z)
+        .select("tile_id", "zoom", "pix_x", "pix_y", "n")
+        .as[(Long, Int, Int, Int, Long)].collect()
+    }.toSet
+    assert(got == want)
+    // every level conserves the point total
+    val byZoom = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._5).sum).toMap
+    assert(byZoom.keySet == (0 to zoom).toSet)
+    assert(byZoom.values.forall(_ == pts.length.toLong))
+  }
+
+  test("quadkey: digits match the reference and parents are string prefixes") {
+    val zoom = 6
+    val got = ptsDf.select($"page_id", $"entity_idx",
+        Tiler.quadkey($"lat", $"lon", zoom).as("qk"),
+        Tiler.quadkey($"lat", $"lon", zoom - 2).as("qk4"))
+      .as[(Long, Int, String, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, ei, qk, qk4) =>
+      val (lat, lon) =
+        pts.collectFirst { case (p, e, la, lo) if p == id && e == ei => (la, lo) }.get
+      val cell = CellIndex.latLonToCell(lat, lon, zoom)
+      val (ix, iy) = (CellIndex.ix(cell), CellIndex.iy(cell))
+      val want = (1 to zoom).map { l =>
+        (((ix >> (zoom - l)) & 1) + 2 * ((iy >> (zoom - l)) & 1)).toString
+      }.mkString
+      assert(qk == want, s"page $id")
+      assert(qk.length == zoom && qk.forall("0123".contains(_)))
+      // the zoom-4 key is the zoom-6 key's prefix (cell containment)
+      assert(qk.startsWith(qk4), s"page $id: $qk vs $qk4")
+    }
+    intercept[IllegalArgumentException](Tiler.quadkey($"lat", $"lon", 0))
+  }
+
   test("vector tiles: features sorted and complete") {
     val zoom = 4
     val ents = ptsDf.withColumn("key", concat(lit("p"), $"page_id"))

@@ -120,6 +120,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected window over non-robots input:\n${windows.mkString("\n")}")
   }
 
+  test("q119 curation pipeline: equi-joins only — no cartesian across any stage pair") {
+    // seven chained stages; the contract is that stage composition adds
+    // only key-equi semi/anti joins (doc text crosses the wire exactly
+    // where the standalone operator already shipped it) and the gram
+    // probe broadcasts the benchmark side
+    val df = graft.SparkEntry.queries("q119_curation_pipeline")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(12).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(12).mkString("\n"))
+    // the input fixture (500 docs + 10 copies) comes back in full, each
+    // doc labeled exactly once
+    assert(rows.length == 510, s"expected 510 disposition rows, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q120 pyramid: points scanned once — coarser levels derive from pixel rows") {
+    val df = graft.SparkEntry.queries("q120_tile_pyramid")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Final Plan ==").last.split("== Initial Plan ==").head
+    // exactly ONE parquet scan of customer feeds the whole 4-level pyramid
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 point scan, got $scans:\n$finalSection")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scalar cell expressions stay inside whole-stage codegen") {
     val df = customer.select(graft.functions.cell_id(
       (col("c_custkey") % 180 - 90).cast("double"),
