@@ -250,6 +250,15 @@ object Urls {
    * whole rule evaluation is a codegen'd max, no window, no sort. Hosts
    * must match textually (lowercased, port included) between the URLs
    * and the rules' host column.
+   *
+   * CALLER NOTE: `urls` is referenced TWICE in the plan — once for the
+   * distinct (host, path) decision pairs and once for the payload
+   * join-back (the shape that keeps page bodies out of the decision
+   * aggregate). An expensive upstream is therefore evaluated twice
+   * unless materialized first: q116's capture-collapse input measured
+   * 10.9 s un-materialized vs 1.5 s behind a localCheckpoint. Persist or
+   * checkpoint non-trivial pipelines before gating them — the collapsed
+   * capture table is a natural storage boundary anyway.
    */
   def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
     val withHp = urls
