@@ -208,8 +208,17 @@ object Bench {
         // last operator is an agg under-measure — the k=256 KMV build
         // read 8.9 s counted vs 248.6 s actually consumed (SketchBench
         // discovery, r6). The noop sink consumes every output column.
-        try { fn(s, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        // The post-write block release is OUTSIDE nothing — it stays in
+        // the timed region deliberately: owning-and-releasing state is
+        // part of the query's true cost, and leaving blocks stranded
+        // would instead tax every LATER query's GC (the 2-pass sweep
+        // would hold two dead copies of each checkpointing query's
+        // frontier tables for the rest of the session).
+        try {
+          val df = fn(s, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(df)
+        } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

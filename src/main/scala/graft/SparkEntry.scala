@@ -554,6 +554,16 @@ object SparkEntry {
           (col("o_orderkey") % 200).as("dst")),
         "src", "dst", iterations = 2)),
 
+    // GPT-style sequence packing: docs concatenated in deterministic
+    // (hash, key) order per bucket, chopped into 256-token sequences
+    // (docs straddle boundaries like standard causal-LM packing); pure
+    // integer window cumsum — bit-replayable in SQL
+    "q123_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(
+        tbl(s, d, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+        "doc_id", "n_tokens", budget = 256L, nBuckets = 8, salt = "pk")),
+
     // ---- tool-facade round-out: every remaining SURVEY §2 operator gets an
     // exact closed-form oracle over the PagesFromDocs fixture --------------
     "q59_node_at_position" -> ((s, d) =>
@@ -1060,8 +1070,12 @@ object SparkEntry {
       val docs = tbl(s, d, "documents")
       val entry = concat(lit("<url><loc>https://"), col("source"), lit("/d/"), col("doc_id"),
         lit("</loc><lastmod>2026-01-0"), col("doc_id") % 3 + 1, lit("</lastmod></url>"))
+      // array_sort: collect_list merges partial buffers in shuffle-fetch
+      // order (CLAUDE.md), and sitemapUrls keys its internal joins on a
+      // hash of the XML BYTES — unsorted entries could differ between
+      // plan-branch re-evaluations and silently drop every entry
       val sitemaps = docs.groupBy(col("source"))
-        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(entry)),
+        .agg(concat(lit("<urlset>"), concat_ws("", array_sort(collect_list(entry))),
           lit("</urlset>")).as("xml"))
       graft.api.Engine.sitemapUrls(sitemaps, "source", "xml")
     }),
@@ -1120,7 +1134,7 @@ object SparkEntry {
       val entry = concat(lit("<url><loc>"), base, lit("</loc></url>"))
       val sitemaps = docs.where(col("doc_id") % 2 === 0)
         .groupBy(col("source"))
-        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(entry)),
+        .agg(concat(lit("<urlset>"), concat_ws("", array_sort(collect_list(entry))),
           lit("</urlset>")).as("xml"))
       val listed = graft.api.Engine.sitemapUrls(sitemaps, "source", "xml")
         .select(col("loc_url")).distinct().withColumn("__sm", lit(1))
@@ -2579,6 +2593,22 @@ object SparkEntry {
     // HUGEINT sums cast back to BIGINT (values bounded far below 2^63 by
     // the d_max^(2t-1) bound in Graph.hits)
     "q122_hits" -> hitsSql(2),
+
+    // q123: the same deterministic (hash, key) stream order per bucket,
+    // window cumsum over preceding rows, integer div/mod chunking
+    "q123_pack_sequences" ->
+      ("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR || ':pk'), 1, 13)) AS BIGINT) AS hh
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |s AS (SELECT doc_id, n, hh, hh % 8 AS bucket,
+         |  coalesce(sum(n) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+         |  FROM t)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(st AS BIGINT) AS token_start,
+         |  CAST(st // 256 AS BIGINT) AS pack_first,
+         |  CAST((st + n - 1) // 256 AS BIGINT) AS pack_last,
+         |  CAST(st % 256 AS BIGINT) AS pack_off
+         |FROM s""".stripMargin),
 
     // q41: the sign-LSH hyperplanes are deterministic data-independent
     // constants, so the oracle inlines the SAME values as literal arrays

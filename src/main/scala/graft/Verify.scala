@@ -18,9 +18,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // release any checkpoint blocks the query materialized (q57/q116/
+        // q118/q119 own stage-frontier blocks; plain unpersist() is a
+        // no-op on checkpointed frames) — without this every invocation
+        // strands its blocks in executor storage for the session
+        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -248,6 +248,62 @@ object Curation {
   }
 
   /**
+   * Training-sequence packing — the causal-LM data-prep step between
+   * "curated docs" and "fixed-length training sequences": documents are
+   * (conceptually) concatenated in a deterministic order and chopped
+   * into `budget`-token sequences, documents straddling chunk boundaries
+   * as standard GPT-style packing does. Each doc gets its position in
+   * that stream:
+   *
+   *   (key, bucket, token_start, pack_first, pack_last, pack_off)
+   *
+   * where token_start = tokens before it in its bucket's stream,
+   * pack_first/last = budget-chunk indexes of its first/last token, and
+   * pack_off = offset inside pack_first. pack_last − pack_first > 0 ⟺
+   * the doc straddles (consumers that forbid straddling re-emit the doc
+   * at the next boundary — the assignment stays deterministic either
+   * way).
+   *
+   * Determinism & distribution: docs route to `nBuckets` independent
+   * streams by the portable (key, salt) hash — stable under reruns,
+   * retries, and partitioning, like every decision in this module — and
+   * the in-bucket order is (hash, key), so the packing is a pure
+   * function of the corpus. Each bucket's cumulative sum is ONE window
+   * partition: size nBuckets ≈ corpusTokens / (executor-comfortable
+   * tokens) so a bucket is one task's worth of narrow (key, hash, count)
+   * rows — at 10^12 docs use 10^5-10^6 buckets; the payload never enters
+   * the window (counts only). Zero/negative token counts are dropped
+   * (nothing to pack — documented, not silent: the row count contract is
+   * `input rows with tokens > 0`).
+   *
+   * All-integer (cumsum, div, mod on non-negative longs) ⇒ the DuckDB
+   * oracle (q123) replays the identical assignment bit-for-bit.
+   */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      nBuckets: Int,
+      salt: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val h = Sketches.portableHash52(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy(col("__h"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.where(col(tokenCountCol) > 0)
+      .select(col(keyCol), col(tokenCountCol).cast("long").as("__n"), h.as("__h"))
+      .withColumn("__bucket", pmod(col("__h"), lit(nBuckets.toLong)))
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(keyCol), col("__bucket").as("bucket"),
+        col("__start").as("token_start"),
+        expr(s"__start div ${budget}L").as("pack_first"),
+        expr(s"(__start + __n - 1L) div ${budget}L").as("pack_last"),
+        (col("__start") % budget).as("pack_off"))
+  }
+
+  /**
    * The end-to-end curation screen a pretraining-data operator actually
    * runs — the LLM-pipeline counterpart of the q116 crawl front door:
    * SEVEN stages chained over one document table, each applied to the
@@ -296,8 +352,19 @@ object Curation {
       capPerSource: Int, capSalt: String,
       splits: Seq[(String, Long)], splitSalt: String): DataFrame = {
     require(keepLangs.nonEmpty && minTokens >= 0 && minStopPct >= 0)
-    val base = docs.select(col(key).as("__k"), col(text).as("__txt"),
-      col(source).as("__src"))
+    // MATERIALIZED STAGE FRONTIERS: the final union's seven branches each
+    // read their stage's survivor frame, and most frames are referenced
+    // 2-3 times (operator input + the semi/anti drop pair). Without
+    // materialization every branch re-derives the whole upstream chain —
+    // the exact double-evaluation shape q116's robots gate measured at
+    // 10.9 s vs 1.5 s. Each frontier is the stage table a production
+    // pipeline would write to storage anyway; the ckpt() frames shrink
+    // monotonically. OWNERSHIP: the returned frame rides these blocks
+    // (the q57/q116 convention) — long-lived sessions release them via
+    // GraftBridge.releaseCheckpointBlocks after the last action.
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val base = ckpt(docs.select(col(key).as("__k"), col(text).as("__txt"),
+      col(source).as("__src")))
 
     def drops(df: DataFrame, stage: String): DataFrame =
       df.select(col("__k"), col("__src"), lit(stage).as("stage"),
@@ -309,23 +376,25 @@ object Curation {
     val s1 = base.join(lang, Seq("__k"), "left_semi")
     val d1 = drops(base.join(lang, Seq("__k"), "left_anti"), "lang")
 
-    // 2. quality (integer-exact: counts and a cross-multiplied ratio)
+    // 2. quality (integer-exact: counts and a cross-multiplied ratio);
+    // the scored frame q is the frontier here (s2 is its cheap filter)
     val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct
-    val q = s1
+    val q = ckpt(s1
       .withColumn("__nt", size(split(col("__txt"), " ")).cast("long"))
       .withColumn("__sw",
         size(filter(split(lower(col("__txt")), " "), t => t.isInCollection(sw)))
-          .cast("long"))
+          .cast("long")))
     val okQ = col("__nt") >= minTokens &&
       col("__sw") * 100 >= col("__nt") * minStopPct
     val s2 = q.where(okQ).drop("__nt", "__sw")
     val d2 = drops(q.where(!okQ), "quality")
 
-    // 3. exact dedup among survivors: min-key per digest survives
-    val dg = s2.withColumn("__dg", md5(col("__txt").cast("binary")))
+    // 3. exact dedup among survivors: min-key per digest survives; the
+    // digest-carrying frame is the frontier (3 references)
+    val dg = ckpt(s2.withColumn("__dg", md5(col("__txt").cast("binary"))))
     val keep3 = dg.groupBy("__dg").agg(min(col("__k")).as("__keep"))
-    val s3 = dg.join(keep3, "__dg").where(col("__k") === col("__keep"))
-      .drop("__dg", "__keep")
+    val s3 = ckpt(dg.join(keep3, "__dg").where(col("__k") === col("__keep"))
+      .drop("__dg", "__keep"))
     val d3 = drops(dg.join(keep3, "__dg").where(col("__k") =!= col("__keep")),
       "exact_dup")
 
@@ -333,7 +402,7 @@ object Curation {
     val pairs = Dedup.minhashLsh(s3, "__k", "__txt", bands, rowsPerBand, threshold)
     val drop4 = Dedup.dropKeys(pairs, "key_a", "key_b")
       .select(col("drop_key").as("__k"))
-    val s4 = s3.join(drop4, Seq("__k"), "left_anti")
+    val s4 = ckpt(s3.join(drop4, Seq("__k"), "left_anti"))
     val d4 = drops(s3.join(drop4, Seq("__k"), "left_semi"), "near_dup")
 
     // 5. benchmark decontamination (benchmark must carry the SAME text
@@ -341,7 +410,7 @@ object Curation {
     val bench = benchmark.select(col(text).as("__txt"))
     val hit5 = decontaminate(s4, bench, "__k", "__txt", nGram)
       .select(col("__k"))
-    val s5 = s4.join(hit5, Seq("__k"), "left_anti")
+    val s5 = ckpt(s4.join(hit5, Seq("__k"), "left_anti"))
     val d5 = drops(s4.join(hit5, Seq("__k"), "left_semi"), "contaminated")
 
     // 6. per-source cap

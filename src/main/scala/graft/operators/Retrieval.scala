@@ -144,26 +144,39 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("w")).as("score"))
 
-    if (k <= TopKSlots.JitK) { // not MaxK: k >= 5 interpreted (JitK doc)
-      // Declarative partial top-k: integer scores round-trip exactly
-      // through the double-slot buffer ONLY below 2^53. The score bound is
+    if (k <= TopKSlots.MaxK) {
+      // Map-side partial top-k (both aggregate forms ship <= k rows per
+      // query per map task to the exchange — the scale shape the scaladoc
+      // promises): declarative TopKSlots while its generated update
+      // method still JIT-compiles (k <= JitK), the imperative TopKAggExpr
+      // for k = JitK+1..MaxK (same (score desc, key asc) contract;
+      // ObjectHashAggregate buffers, but never a full-candidate window
+      // shuffle). Integer scores round-trip exactly through the
+      // double-score channel ONLY below 2^53. The score bound is
       // sum_terms(tf · (N div df)) <= |query terms| · maxDoclen · N, which
       // a rare term in a long document CAN exceed at ~10^12 docs — above
       // 2^53 the double cast drops low bits and may reorder ties in the
       // top-k cut, so the cast fails loudly instead of silently (callers
-      // in that regime use k > JitK to route to the exact row_number
+      // in that regime use k > MaxK to route to the exact row_number
       // path, or pre-scale weights).
       val exactMax = 1L << 53
       val guarded = when(col("score") < lit(exactMax), col("score"))
         .otherwise(raise_error(format_string(
           "searchTopK score %s >= 2^53 for query %s: not exactly representable " +
-            "as double; use k > TopKSlots.JitK (exact path) or scale weights",
+            "as double; use k > TopKSlots.MaxK (exact path) or scale weights",
           col("score"), col("query_id"))).cast("long"))
+      val agg =
+        if (k <= TopKSlots.JitK)
+          TopKByScore.topKSlots(k)(guarded.cast("double"), col("doc_id").cast("long"))
+        else
+          TopKByScore.topK(k)(guarded.cast("double"), col("doc_id").cast("long"))
       scored.groupBy("query_id")
-        .agg(TopKByScore.topKSlots(k)(guarded.cast("double"), col("doc_id").cast("long"))
-          .as("__tk"))
+        .agg(agg.as("__tk"))
         .select(col("query_id"), col("__tk.scores").as("__ss"),
           posexplode(col("__tk.keys")).as(Seq("__pos", "doc_id")))
+        // sentinel filter: only TopKSlots k-pads (scores here are >= 1,
+        // so a sentinel can never be a real score); topK arrays are
+        // exact-length and pass through untouched
         .where(element_at(col("__ss"), col("__pos") + 1) =!= lit(TopKSlots.SentinelScore))
         .select(col("query_id"), col("doc_id"),
           element_at(col("__ss"), col("__pos") + 1).cast("long").as("score"),

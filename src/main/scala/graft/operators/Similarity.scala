@@ -332,8 +332,16 @@ object Similarity {
   def semDedup(corpus: DataFrame, cKey: String, cVec: String,
       kClusters: Int, iters: Int, tau: Double): DataFrame = {
     val centroids = kmeansCentroids(corpus, cKey, cVec, kClusters, iters)
+    // materialize the assignment ONCE: it is referenced three times (both
+    // self-join sides + the final kept join), and the kClusters-way
+    // distance projection over the whole corpus is the dominant linear
+    // cost — re-deriving it 3x tripled the operator. OWNERSHIP: like the
+    // dedup-components convention, the returned frame rides these blocks;
+    // release via GraftBridge.releaseCheckpointBlocks after the last
+    // action if the session is long-lived.
     val a = assignToCentroids(
       corpus.select(col(cKey).as("__k"), col(cVec).as("__v")), "__v", centroids)
+      .localCheckpoint(true)
     val l = a.select(col("__cid"), col("__k").as("__lk"), col("__v").as("__lv"))
     val r = a.select(col("__cid"), col("__k").as("__rk"), col("__v").as("__rv"))
     val dropped = l.join(r, "__cid")

@@ -220,6 +220,31 @@ class CurationSpec extends AnyFunSuite {
     assert(resalted != groupSplit)
   }
 
+  test("packSequences: concat-and-chop assignment matches brute force; drops empty docs") {
+    val rows = (0L until 300L).map(i => (i, i % 17 + 1)) // tokens 1..17
+    val df = rows.toDF("doc_id", "n_tokens")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.packSequences(d, "doc_id", "n_tokens", budget = 50L, nBuckets = 4, salt = "s")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(df)
+    val want = rows.groupBy { case (k, _) => refHash(s"$k:s") % 4 }.flatMap {
+      case (b, ds) =>
+        var st = 0L
+        ds.sortBy { case (k, _) => (refHash(s"$k:s"), k) }.map { case (k, n) =>
+          val r = (k, b, st, st / 50, (st + n - 1) / 50, st % 50); st += n; r
+        }
+    }.toSet
+    assert(got == want)
+    // partitioning-invariant (the bucket hash, not the physical layout,
+    // decides the stream order)
+    assert(run(df.repartition(13, col("n_tokens"))) == got)
+    // zero-token docs are dropped, everything else is unchanged
+    val withEmpty = rows.map { case (k, n) => (k, n) } ++ Seq((9000L, 0L))
+    assert(run(withEmpty.toDF("doc_id", "n_tokens")) == got)
+    // straddling happens and is labeled: some doc crosses a 50-boundary
+    assert(got.exists(r => r._5 > r._4), "expected at least one straddling doc")
+  }
+
   test("curate: total function, stage order respected, stages agree with the standalone ops") {
     // deterministic corpus: three languages (en/de/und by construction),
     // short docs, an exact-duplicate pair, a benchmark hit, a hot source

@@ -59,17 +59,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got.keys.exists(_._1 == 12L))
   }
 
-  test("declarative and window ranking paths agree") {
-    // force the window path with k above the declarative JIT cap
-    val wide = Retrieval.searchTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
-        queries.toDF("query_id", "term"), TopKSlots.MaxK + 1)
-      .select("query_id", "doc_id", "score", "rank")
-      .as[(Long, Long, Long, Long)].collect().toSet
-    val narrow = Retrieval.searchTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
-        queries.toDF("query_id", "term"), TopKSlots.JitK)
-      .select("query_id", "doc_id", "score", "rank")
-      .as[(Long, Long, Long, Long)].collect().toSet
-    // fewer docs than either k: identical result sets
+  test("declarative, imperative, and window ranking paths agree") {
+    // k = JitK -> declarative slots; JitK < k <= MaxK -> imperative
+    // TopKAggExpr; k > MaxK -> row_number window (the exact path)
+    def run(k: Int) =
+      Retrieval.searchTopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+          queries.toDF("query_id", "term"), k)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val wide = run(TopKSlots.MaxK + 1)
+    val mid = run(TopKSlots.MaxK)
+    val narrow = run(TopKSlots.JitK)
+    // fewer docs than any of the k values: identical result sets
+    assert(wide == mid)
     assert(wide == narrow)
   }
 
