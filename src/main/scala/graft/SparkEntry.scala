@@ -564,6 +564,22 @@ object SparkEntry {
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
         "doc_id", "n_tokens", budget = 256L, nBuckets = 8, salt = "pk")),
 
+    // snapshot-to-snapshot diff (time-travel CDC read): two committed
+    // waves, then diff(parent, current) — for an append-only wave table
+    // the diff is exactly the new wave's rows as 'added' (the oracle's
+    // closed form); removed is empty by construction
+    "q124_snapshot_diff" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q124").toString
+      val wave = pmod(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long"), lit(2))
+      graft.snap.SnapshotCatalog.resumableRunBy(s, tbl(s, d, "orders"), wave, 2, root, "ords") {
+        df => df.select(col("o_orderkey"), col("o_custkey").cast("string").as("content"))
+      }
+      val cur = graft.snap.SnapshotCatalog.currentManifest(root, "ords").get
+      graft.snap.SnapshotCatalog.diffSnapshots(
+        s, root, "ords", cur.parentId, cur.snapshotId, "o_orderkey", "content")
+    }),
+
     // ---- tool-facade round-out: every remaining SURVEY §2 operator gets an
     // exact closed-form oracle over the PagesFromDocs fixture --------------
     "q59_node_at_position" -> ((s, d) =>
@@ -2593,6 +2609,17 @@ object SparkEntry {
     // HUGEINT sums cast back to BIGINT (values bounded far below 2^63 by
     // the d_max^(2t-1) bound in Graph.hits)
     "q122_hits" -> hitsSql(2),
+
+    // q124: the append-only closed form — diff(parent, current) over two
+    // hash-split waves is exactly the wave-1 rows as 'added' (removed is
+    // empty: earlier waves' files are still in the child snapshot); the
+    // content hash is the portable md5-52
+    "q124_snapshot_diff" ->
+      ("""SELECT o_orderkey AS key,
+         |  CAST(('0x' || substr(md5(o_custkey::VARCHAR), 1, 13)) AS BIGINT) AS content_hash,
+         |  'added' AS change
+         |FROM orders
+         |WHERE CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT) % 2 = 1""".stripMargin),
 
     // q123: the same deterministic (hash, key) stream order per bucket,
     // window cumsum over preceding rows, integer div/mod chunking

@@ -248,6 +248,43 @@ object Curation {
   }
 
   /**
+   * Stream-composable decontamination FILTER — the scan-side form of
+   * [[decontaminate]]: the benchmark's distinct word n-grams are
+   * collected once into a broadcast literal and the probe is a plain
+   * `arrays_overlap` over each document's gram array, so the whole
+   * screen is a stateless projection+filter — no join, no aggregation —
+   * that composes with `readStream` in append mode (the join+groupBy
+   * form is a streaming aggregation, which append mode rejects) and
+   * with any batch plan as a pushable filter.
+   *
+   * Precondition: the benchmark is CONFIG-SIZED (eval sets are, by
+   * definition — thousands of docs, not a corpus): its gram set is
+   * collected to the driver and shipped with the task closure like any
+   * broadcast literal. For corpus-scale benchmark sides use
+   * [[decontaminate]] (broadcast JOIN, counts per doc). Kept docs are
+   * returned (the gate form); flip with `keepContaminated`.
+   */
+  def decontaminateFilter(
+      corpus: DataFrame,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      keepContaminated: Boolean = false): DataFrame = {
+    val grams: Seq[String] = benchmark
+      .withColumn("__ts", TextAnalysis.tokens(col(benchTextCol)))
+      .select(explode(TextAnalysis.ngramsOf(col("__ts"), n)).as("__g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    // materialize the token array BEFORE the gram HOF (the measured 10x
+    // subexpression-elimination trap — see ngramsOf's scaladoc)
+    val hit = arrays_overlap(
+      TextAnalysis.ngramsOf(col("__curate_ts"), n), typedlit(grams))
+    corpus.withColumn("__curate_ts", TextAnalysis.tokens(col(textCol)))
+      .where(if (keepContaminated) hit else !hit)
+      .drop("__curate_ts")
+  }
+
+  /**
    * Training-sequence packing — the causal-LM data-prep step between
    * "curated docs" and "fixed-length training sequences": documents are
    * (conceptually) concatenated in a deterministic order and chopped

@@ -227,8 +227,20 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de"))
 
   def langId(df: DataFrame, key: String, text: String): DataFrame = {
+    langIdWith(df.select(col(key), col(text)), text)
+      .select(col(key), col("pred_lang"), col("best_score"))
+  }
+
+  /** [[langId]] PRESERVING the input columns (appends pred_lang +
+   * best_score): the narrow key+prediction projection above forces
+   * callers that need other columns into a join-back on the key — fine
+   * in batch, but a STREAM joined to a derivative of itself is a
+   * stream-stream join, which Structured Streaming rejects without
+   * watermark state. This form is a pure scan-side projection, so a
+   * language gate composes with readStream (and pushes down in batch). */
+  def langIdWith(df: DataFrame, text: String): DataFrame = {
     val ts = tokens(lower(col(text)))
-    val scored = LangStopwords.foldLeft(df.select(col(key), ts.as("__ts"))) {
+    val scored = LangStopwords.foldLeft(df.withColumn("__ts", ts)) {
       case (acc, (lang, sw)) =>
         acc.withColumn(s"__s_$lang",
           size(filter(col("__ts"), t => t.isInCollection(sw))).cast("long"))
@@ -238,7 +250,8 @@ object TextAnalysis {
     val pred = LangStopwords.foldRight(lit("und")) { case ((l, _), other) =>
       when(col(s"__s_$l") === best && best > 0, lit(l)).otherwise(other)
     }
-    scored.select(col(key), pred.as("pred_lang"), best.as("best_score"))
+    scored.withColumn("pred_lang", pred).withColumn("best_score", best)
+      .drop("__ts" +: LangStopwords.map { case (l, _) => s"__s_$l" }: _*)
   }
 
   /** Quality score: token count, mean token length, stopword ratio,

@@ -193,6 +193,46 @@ object SnapshotCatalog {
       "left_anti")
   }
 
+  /**
+   * Snapshot-to-snapshot diff — the time-travel audit / CDC-lite read
+   * (Iceberg's changelog-scan analogue): what changed between two
+   * committed snapshots of the same table. Rows are identified by
+   * (key, content hash): a key whose content changed between the
+   * snapshots appears ONCE as `removed` (old hash) and ONCE as `added`
+   * (new hash); pure inserts/deletes appear once. For the append-only
+   * wave tables this catalog writes, a child-vs-parent diff is exactly
+   * the child's new waves and `removed` is empty; `compact`'s rewrite
+   * preserves content, so a pre-vs-post-compaction diff is EMPTY — both
+   * invariants pinned in SnapshotCatalogSpec.
+   *
+   * Scale shape: each side is projected to (key, hash) AT THE SCAN
+   * (column pruning keeps payload bytes out of the read and the
+   * anti-join shuffles carry two 8-byte-ish columns per row — the same
+   * digest discipline as [[diffNew]]); re-join payloads by key from
+   * whichever snapshot you need them. The content hash is the PORTABLE
+   * md5-52 ([[graft.operators.Sketches.portableHash52]]) so the q124
+   * oracle replays the diff bit-for-bit — 52 bits means ~10^-9 pair
+   * collision odds at a million changed rows per key-space, and a
+   * collision only suppresses one changed row from the report, never
+   * corrupts the table.
+   *
+   * @return (key, content_hash, change ∈ {'added','removed'}), distinct
+   */
+  def diffSnapshots(spark: SparkSession, root: String, table: String,
+      fromId: Long, toId: Long, keyCol: String, contentCol: String): DataFrame = {
+    def keyed(id: Long): DataFrame =
+      readAt(spark, root, table, id).select(col(keyCol).as("key"),
+        graft.operators.Sketches.portableHash52(col(contentCol)).as("content_hash"))
+        .distinct()
+    val from = keyed(fromId)
+    val to = keyed(toId)
+    to.join(from, Seq("key", "content_hash"), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        from.join(to, Seq("key", "content_hash"), "left_anti")
+          .withColumn("change", lit("removed")))
+  }
+
   /** All lineage rows visible from a manifest (read from its sidecars —
    * immutable, so any historical snapshot's lineage stays readable). */
   def lineageRows(root: String, m: Manifest): Seq[LineageRow] =

@@ -30,6 +30,36 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(asOf0.count() == wave0Rows && wave0Rows > 0)
   }
 
+  test("diffSnapshots: child-vs-parent = the new wave; self-diff and compaction diffs are empty") {
+    val root = freshRoot()
+    SnapshotCatalog.resumableRun(spark, input, "url", waves = 3, root, "td")(
+      df => df.select(col("url"), col("v").cast("string").as("content")))
+    val cur = SnapshotCatalog.currentManifest(root, "td").get
+    // append-only: diff(parent, current) = exactly the last wave's rows, all 'added'
+    val d = SnapshotCatalog.diffSnapshots(spark, root, "td",
+      cur.parentId, cur.snapshotId, "url", "content")
+    val added = d.where(col("change") === "added").count()
+    assert(added == cur.rowsPerWave(2) && added > 0)
+    assert(d.where(col("change") === "removed").count() == 0)
+    // the added key set IS the last wave's key set
+    val lastWaveKeys = SnapshotCatalog.readAt(spark, root, "td", cur.snapshotId)
+      .select("url").as[String].collect().toSet --
+      SnapshotCatalog.readAt(spark, root, "td", cur.parentId)
+        .select("url").as[String].collect().toSet
+    assert(d.where(col("change") === "added").select("key").as[String].collect().toSet
+      == lastWaveKeys)
+    // self-diff is empty
+    assert(SnapshotCatalog.diffSnapshots(spark, root, "td",
+      cur.snapshotId, cur.snapshotId, "url", "content").count() == 0)
+    // compaction rewrites files but preserves content: diff pre-vs-post is empty
+    val preId = cur.snapshotId
+    SnapshotCatalog.compact(spark, root, "td", targetFiles = 1)
+    val postId = SnapshotCatalog.currentSnapshotId(root, "td").get
+    assert(postId != preId)
+    assert(SnapshotCatalog.diffSnapshots(spark, root, "td",
+      preId, postId, "url", "content").count() == 0)
+  }
+
   test("resume: a rerun skips completed waves; partial run completes to the same result") {
     val root = freshRoot()
     // simulate a crash after 2 of 6 waves: run a transform that THROWS on

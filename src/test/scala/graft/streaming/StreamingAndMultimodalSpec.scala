@@ -62,6 +62,64 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < 2000)
   }
 
+  test("curation front stages stream: lang gate + quality + decon (stream-static) + split == batch") {
+    // the stateless PREFIX of the q119 curation screen composes with
+    // readStream directly: langId/quality are scan-side projections, the
+    // decontamination gram probe is a stream-STATIC join against the
+    // batch benchmark (supported by Structured Streaming), and the split
+    // is a stateless CASE. Stages needing corpus-wide state (exact/near
+    // dedup, caps) belong to the batch/wave path — incrementalMinhash is
+    // their streaming-adjacent form.
+    val dir = Files.createTempDirectory("graft_curate_stream").toString
+    // en text with an id-bearing token in EVERY 4-gram window (positions
+    // 1/5/8/12 of 15), so only a doc's own benchmark copy contaminates
+    // it — a fully shared prefix would contaminate the whole corpus
+    def enText(id: org.apache.spark.sql.Column) = concat(
+      lit("d"), id, lit(" the cat of p"), id, lit(" house and q"), id,
+      lit(" dog is it s"), id, lit(" extra words pad"))
+    spark.range(0, 600).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(3)) === 0, enText(col("id").cast("string")))
+        .otherwise(concat(lit("zz yy xx ww vv uu tt ss rr qq pp oo token"),
+          col("id").cast("string"))).as("text"),
+      concat(lit("s"), pmod(col("id"), lit(5)).cast("string")).as("source"))
+      .write.mode("overwrite").parquet(dir)
+    val bench = spark.range(0, 600).where(col("id") % 90 === 0)
+      .select(enText(col("id").cast("string")).as("text"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      // langIdWith: the column-preserving scan-side form — the narrow
+      // langId projection would force a join-back, and a stream joined
+      // to a derivative of itself is a rejected stream-stream join
+      val inLang = graft.operators.TextAnalysis.langIdWith(df, "text")
+        .where(col("pred_lang") === "en")
+        .drop("pred_lang", "best_score")
+        .where(size(split(col("text"), " ")) >= 10)
+      // the scan-side decontamination FILTER (gram literal +
+      // arrays_overlap): the join+groupBy form is a streaming
+      // aggregation, which append mode rejects
+      val clean = graft.operators.Curation
+        .decontaminateFilter(inLang, "text", bench, "text", n = 4)
+      graft.operators.Curation.splitByGroup(
+        clean, "source", Seq(("train", 4L), ("valid", 1L)), "sp")
+        .select("doc_id", "source", "split")
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING").parquet(dir)
+    val q = pipeline(stream)
+      .writeStream.outputMode("append").format("memory").queryName("curate_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, source, split FROM curate_stream")
+      .as[(Long, String, String)].collect().toSet
+    val want = pipeline(spark.read.parquet(dir))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want)
+    // the gates actually fired: zh-ish docs dropped, benchmark hits dropped
+    assert(want.nonEmpty && want.size < 200)
+    assert(!want.exists(_._1 % 90 == 0))
+  }
+
   test("PII scrub + repetition filter are stateless streaming transforms: stream == batch") {
     // both ops are scan-side projections/filters (no state, no watermark),
     // so they compose with readStream directly and micro-batch boundaries
