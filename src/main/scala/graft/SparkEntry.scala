@@ -86,7 +86,11 @@ object SparkEntry {
    * graph: `iters` exact 2^40 fixed-point iterations unrolled — integer
    * division everywhere (operands non-negative, so DuckDB // == Spark
    * div), long sums are order-free ⇒ bit-identical ranks. */
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankSql(
+      iters: Int,
+      edgesSql: String =
+        "SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders")
+    : String = {
     val scale = 1L << 40
     def iter(k: Int): String =
       s"""i$k AS (SELECT e.dst, sum(r.rank // deg.outdeg) AS s
@@ -95,7 +99,7 @@ object SparkEntry {
          |r$k AS (SELECT node, ($scale * 15 // 100) // (SELECT n FROM params)
          |    + 85 * coalesce(i$k.s, 0) // 100 AS rank
          |  FROM nodes LEFT JOIN i$k ON nodes.node = i$k.dst)""".stripMargin
-    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders),
+    s"""WITH e AS ($edgesSql),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |params AS (SELECT count(*) AS n FROM nodes),
@@ -563,6 +567,25 @@ object SparkEntry {
         tbl(s, d, "documents")
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
         "doc_id", "n_tokens", budget = 256L, nBuckets = 8, salt = "pk")),
+
+    // link-graph composite: parse html → extract hrefs → RFC 3986
+    // canonicalize (tracking params + fragment appended by the fixture,
+    // stripped by canonical) → hash to bounded node ids → exact
+    // fixed-point PageRank. The composite a web-quality pipeline runs,
+    // chaining parser/urls/graph so any column-contract drift between
+    // the three surfaces breaks here.
+    "q125_link_graph_rank" -> ((s, d) => {
+      val links = PagesFromDocs(tbl(s, d, "documents"))
+        .select(col("doc_id"), extract_captures(col("html"), "links")
+          .as(Seq("capture", "text", "sb", "eb", "sr", "sc", "er", "ec")))
+        .where(col("capture") === "link.href")
+        .select(col("doc_id"),
+          concat(col("text"), lit("?utm_source=x&b=2&a=1#frag")).as("href"))
+      val edges = links.select(
+        (col("doc_id") % 200).as("src"),
+        pmod(Sketches.portableHash52(Urls.canonical(col("href"))), lit(200)).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+    }),
 
     // snapshot-to-snapshot diff (time-travel CDC read): two committed
     // waves, then diff(parent, current) — for an append-only wave table
@@ -2609,6 +2632,18 @@ object SparkEntry {
     // HUGEINT sums cast back to BIGINT (values bounded far below 2^63 by
     // the d_max^(2t-1) bound in Graph.hits)
     "q122_hits" -> hitsSql(2),
+
+    // q125: the q27 link closed form, canonicalized in closed form too
+    // (canonical of "<href>?utm_source=x&b=2&a=1#frag" = "<href>?a=1&b=2"
+    // — tracking keys and the fragment stripped, remaining params
+    // key-sorted; exactness of the general canonicalizer is q98's job),
+    // then the exact fixed-point PageRank unrolled over the hashed edges
+    "q125_link_graph_rank" -> pageRankSql(3,
+      """SELECT DISTINCT doc_id % 200 AS src,
+        |  CAST(('0x' || substr(md5('https://ex.com/' || doc_id::VARCHAR || '/' ||
+        |    j::VARCHAR || '?a=1&b=2'), 1, 13)) AS BIGINT) % 200 AS dst
+        |  FROM documents, unnest(generate_series(0, doc_id % 3 - 1)) AS t(j)
+        |  WHERE doc_id % 3 > 0""".stripMargin),
 
     // q124: the append-only closed form — diff(parent, current) over two
     // hash-split waves is exactly the wave-1 rows as 'added' (removed is
