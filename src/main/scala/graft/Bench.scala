@@ -208,17 +208,20 @@ object Bench {
         // last operator is an agg under-measure — the k=256 KMV build
         // read 8.9 s counted vs 248.6 s actually consumed (SketchBench
         // discovery, r6). The noop sink consumes every output column.
-        // The post-write block release is OUTSIDE nothing — it stays in
-        // the timed region deliberately: owning-and-releasing state is
-        // part of the query's true cost, and leaving blocks stranded
-        // would instead tax every LATER query's GC (the 2-pass sweep
-        // would hold two dead copies of each checkpointing query's
-        // frontier tables for the rest of the session).
+        // The block release stays INSIDE the timed region deliberately:
+        // owning-and-releasing state is part of the query's true cost,
+        // and stranded blocks would instead tax every LATER query's GC
+        // (the 2-pass sweep would hold two dead copies of each
+        // checkpointing query's frontier tables for the session). It
+        // runs in a finally so a failed write still frees whatever the
+        // query eagerly checkpointed while being built.
+        var df: org.apache.spark.sql.DataFrame = null
         try {
-          val df = fn(s, sfDir)
+          df = fn(s, sfDir)
           df.write.format("noop").mode("overwrite").save()
-          org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(df)
         } catch { case _: Throwable => () }
+        finally if (df != null)
+          org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(df)
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

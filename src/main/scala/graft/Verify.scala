@@ -18,17 +18,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // release any checkpoint blocks the query materialized (q57/q116/
+      // q118/q119 own stage-frontier blocks; plain unpersist() is a
+      // no-op on checkpointed frames) — in a finally, so a failed write
+      // still frees what the query eagerly checkpointed while built
+      var df: org.apache.spark.sql.DataFrame = null
       try {
-        val df = fn(spark, sfDir)
+        df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // release any checkpoint blocks the query materialized (q57/q116/
-        // q118/q119 own stage-frontier blocks; plain unpersist() is a
-        // no-op on checkpointed frames) — without this every invocation
-        // strands its blocks in executor storage for the session
-        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally if (df != null)
+        org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(df)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -304,8 +304,10 @@ object Curation {
    * Determinism & distribution: docs route to `nBuckets` independent
    * streams by the portable (key, salt) hash — stable under reruns,
    * retries, and partitioning, like every decision in this module — and
-   * the in-bucket order is (hash, key), so the packing is a pure
-   * function of the corpus. Each bucket's cumulative sum is ONE window
+   * the in-bucket order is (hash, key, tokens), so the packing is a pure
+   * function of the corpus — duplicate keys tie only between fully
+   * identical (key, tokens) rows, which are interchangeable, so the
+   * output MULTISET stays deterministic even then. Each bucket's cumulative sum is ONE window
    * partition: size nBuckets ≈ corpusTokens / (executor-comfortable
    * tokens) so a bucket is one task's worth of narrow (key, hash, count)
    * rows — at 10^12 docs use 10^5-10^6 buckets; the payload never enters
@@ -326,8 +328,12 @@ object Curation {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     val h = Sketches.portableHash52(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    // order includes the token count: __h is a function of the key alone,
+    // so DUPLICATE keys tie on (__h, key) — adding __n makes ties possible
+    // only between fully identical (key, n) rows, which are interchangeable,
+    // so the output MULTISET is deterministic even with duplicate keys
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__bucket").orderBy(col("__h"), col(keyCol))
+      .partitionBy("__bucket").orderBy(col("__h"), col(keyCol), col("__n"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.where(col(tokenCountCol) > 0)
       .select(col(keyCol), col(tokenCountCol).cast("long").as("__n"), h.as("__h"))

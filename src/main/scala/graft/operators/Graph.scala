@@ -63,9 +63,19 @@ object Graph {
       prevRound = next
       rank = next
     }
+    // after >= 1 materialized rounds the returned frame is the final
+    // round's checkpoint alone — eWithDeg/nodes are no longer reachable
+    // from it, so a caller-side sweep could never free them: release here.
+    // (iterations = 0 returns r0, which still DERIVES from nodes — leave
+    // both alive; they are leaves of the returned plan and the caller's
+    // sweep reaches them.)
+    if (iterations >= 1) {
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(eWithDeg)
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(nodes)
+    }
     rank.select(col("node"), col("rank"))
-    // the last round's blocks (and e/eWithDeg/nodes) stay live — the
-    // caller owns the returned frame; release after the final action
+    // the last round's blocks stay live — the caller owns the returned
+    // frame; release after the final action
   }
 
   /** Shared setup: distinct long edges carrying out-degree, the node set,
@@ -88,6 +98,11 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // eWithDeg and nodes are now eagerly materialized and nothing else
+    // derives from e — release its blocks here instead of stranding them
+    // for the session (a generic caller-side sweep cannot reach them: the
+    // returned frames' plans flattened e away behind their checkpoints)
+    org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(e)
     val n = nodes.count() // metadata-sized driver scalar (node count)
     require(n > 0, "pageRank needs at least one edge")
     val base = (scale * 15L / 100L) / n
@@ -155,6 +170,11 @@ object Graph {
           _.withColumn("iter", lit(i)))
       }
     }
+    // every wave is committed to STORAGE and readIter reads back from it,
+    // so the prep checkpoints are unreachable from the returned frame —
+    // release them here (unpersist is a no-op for never-materialized r0)
+    org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(eWithDeg)
+    org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(nodes)
     readIter(iterations)
   }
 

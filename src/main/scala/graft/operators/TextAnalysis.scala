@@ -239,6 +239,16 @@ object TextAnalysis {
    * watermark state. This form is a pure scan-side projection, so a
    * language gate composes with readStream (and pushes down in batch). */
   def langIdWith(df: DataFrame, text: String): DataFrame = {
+    // "preserving" must not mean "silently replacing": the working
+    // columns and the two outputs may not collide with caller columns
+    // (withColumn would overwrite them and the final drop would delete
+    // caller data without an error)
+    val reserved = Set("__ts", "pred_lang", "best_score") ++
+      LangStopwords.map { case (l, _) => s"__s_$l" }
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"langIdWith reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename them first")
     val ts = tokens(lower(col(text)))
     val scored = LangStopwords.foldLeft(df.withColumn("__ts", ts)) {
       case (acc, (lang, sw)) =>

@@ -220,10 +220,15 @@ object SnapshotCatalog {
    */
   def diffSnapshots(spark: SparkSession, root: String, table: String,
       fromId: Long, toId: Long, keyCol: String, contentCol: String): DataFrame = {
+    // each side is referenced TWICE (the added and removed anti-joins) —
+    // materialize the narrow (key, hash) frames once or both scans +
+    // distinct shuffles run twice (the documented double-reference trap).
+    // OWNERSHIP: the returned frame rides these blocks; release via
+    // GraftBridge.releaseCheckpointBlocks after the last action.
     def keyed(id: Long): DataFrame =
       readAt(spark, root, table, id).select(col(keyCol).as("key"),
         graft.operators.Sketches.portableHash52(col(contentCol)).as("content_hash"))
-        .distinct()
+        .distinct().localCheckpoint(true)
     val from = keyed(fromId)
     val to = keyed(toId)
     to.join(from, Seq("key", "content_hash"), "left_anti")
