@@ -26,8 +26,51 @@ import graft.sources.{Fixtures, PagesFromDocs}
  */
 object SparkEntry {
 
+  /**
+   * Read a fixture table, fanned out to the session's shuffle parallelism
+   * when the scan itself plans fewer splits (guide §2.5, "input skew: one
+   * huge unsplittable file — repartition immediately after the read").
+   * The sf fixtures are single-row-group parquet files, so a plain read
+   * plans ONE split and every whole-stage span fused to the scan
+   * (tokenize / md5 / parse — the dominant cost of the dedup and text
+   * queries) runs single-threaded no matter how many cores the session
+   * has. The explicit numPartitions keeps AQE from re-coalescing the
+   * exchange (user REPARTITION_BY_NUM shuffles are never coalesced); on a
+   * real multi-file table the condition is false and NO extra exchange is
+   * planned, so no 100-TB plan pays a gratuitous payload shuffle — the
+   * target tracks spark.sql.shuffle.partitions (SPARK_GRAFT_CPUS in the
+   * mains), never a hard-coded core count.
+   */
+  private def fan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    fan(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Un-fanned read for queries whose per-row work is too light to repay
+   * the fan-out exchange (measured: the cheap relational queries lose
+   * 0.1-0.3 s to the extra shuffle while gaining nothing — their
+   * scan-fused stages are trivial). Heavy-projection queries use [[tbl]]. */
+  private def tblRaw(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scratch root for the snapshot-writing queries (q43/q104/q105/q107/
+   * q124), under the session's spark.local.dir — tmpfs in the bench and
+   * verify sessions, where the former /tmp roots sat on the sandbox's
+   * slow shared virtual disk and their writeback taxed the timed region
+   * (the r6 ADVICE finding). A real deployment points local.dir at
+   * node-local NVMe, so the same choice holds at scale; without the conf
+   * the JVM tmpdir is the fallback. */
+  private def scratch(s: SparkSession, prefix: String): String = {
+    val base = s.conf.getOption("spark.local.dir")
+      .map(_.split(",")(0))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = java.nio.file.Paths.get(base, "graft-scratch")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.createTempDirectory(dir, prefix).toString
+  }
 
   /** Points derived from customer keys (mirrored in latSql/lonSql). */
   private def customerPoints(s: SparkSession, dir: String): DataFrame =
@@ -344,41 +387,41 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1, §2.4-§2.7) ------------------------
     "q01_lang_histogram" -> ((s, d) =>
-      tbl(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))),
+      tblRaw(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))),
 
     "q02_url_filter" -> ((s, d) =>
-      tbl(s, d, "documents").where(col("source").startsWith("src1"))
+      tblRaw(s, d, "documents").where(col("source").startsWith("src1"))
         .select("doc_id", "source")),
 
     "q03_doc_metadata" -> ((s, d) =>
-      tbl(s, d, "documents").select(col("doc_id"), col("n_chars"),
+      tblRaw(s, d, "documents").select(col("doc_id"), col("n_chars"),
         length(col("text")).cast("long").as("len_text"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"))),
 
     "q04_slice_tokens" -> ((s, d) =>
-      tbl(s, d, "documents").select(col("doc_id"),
+      tblRaw(s, d, "documents").select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 3, 5)).as("sliced"))),
 
     "q05_term_match" -> ((s, d) =>
-      tbl(s, d, "documents").select(col("doc_id"),
+      tblRaw(s, d, "documents").select(col("doc_id"),
         size(filter(split(col("text"), " "), t => t === "spark")).cast("long").as("n_match"))),
 
     "q06_window_running" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      tbl(s, d, "events").select(col("user_id"), col("event_id"),
+      tblRaw(s, d, "events").select(col("user_id"), col("event_id"),
         row_number().over(w).cast("long").as("rn"),
         sum(round(col("value") * 100).cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_cents"))
     }),
 
     "q07_topk_orders" -> ((s, d) =>
-      tbl(s, d, "orders")
+      tblRaw(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))),
 
     "q08_join_revenue" -> ((s, d) => {
-      val li = tbl(s, d, "lineitem"); val o = tbl(s, d, "orders"); val c = tbl(s, d, "customer")
+      val li = tblRaw(s, d, "lineitem"); val o = tblRaw(s, d, "orders"); val c = tblRaw(s, d, "customer")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
@@ -388,7 +431,7 @@ object SparkEntry {
     }),
 
     "q09_theta_join" -> ((s, d) => {
-      val o = tbl(s, d, "orders"); val c = tbl(s, d, "customer")
+      val o = tblRaw(s, d, "orders"); val c = tblRaw(s, d, "customer")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey") &&
         o("o_totalprice") >= c("c_acctbal") * 2 && o("o_totalprice") <= c("c_acctbal") * 40)
         .select("o_orderkey", "c_custkey")
@@ -412,7 +455,7 @@ object SparkEntry {
 
     // ---- dedup family (training-data ops) --------------------------------
     "q11_dedup_exact" -> ((s, d) =>
-      Dedup.exact(tbl(s, d, "documents"), "doc_id", "text")),
+      Dedup.exact(tblRaw(s, d, "documents"), "doc_id", "text")),
 
     "q12_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(tbl(s, d, "documents"), "doc_id", "text", 0.05)),
@@ -592,10 +635,10 @@ object SparkEntry {
     // the diff is exactly the new wave's rows as 'added' (the oracle's
     // closed form); removed is empty by construction
     "q124_snapshot_diff" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q124").toString
+      val root = scratch(s, "graft_q124")
       val wave = pmod(
         conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long"), lit(2))
-      graft.snap.SnapshotCatalog.resumableRunBy(s, tbl(s, d, "orders"), wave, 2, root, "ords") {
+      graft.snap.SnapshotCatalog.resumableRunBy(s, tblRaw(s, d, "orders"), wave, 2, root, "ords") {
         df => df.select(col("o_orderkey"), col("o_custkey").cast("string").as("content"))
       }
       val cur = graft.snap.SnapshotCatalog.currentManifest(root, "ords").get
@@ -748,7 +791,7 @@ object SparkEntry {
     // exact lat/lon test is what the oracle reproduces (cell arithmetic is
     // the q21-proven exact form)
     "q77_layout_bbox" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q77").toString
+      val root = scratch(s, "graft_q77")
       SpatialLayout.writeClustered(customerPoints(s, d), "lat", "lon", 6, root, partitions = 8)
       SpatialLayout.readBBox(s, root, -20.0, 35.0, -40.0, 70.0)
         .select(col("c_custkey"), col("cell_id"))
@@ -758,7 +801,7 @@ object SparkEntry {
     // the polygons' cells are scanned; row-set contract identical to the
     // full-scan q23 (SpatialLayoutSpec pins the equality on fixtures too)
     "q78_layout_join" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q78").toString
+      val root = scratch(s, "graft_q78")
       SpatialLayout.writeClustered(customerPoints(s, d), "lat", "lon", 6, root, partitions = 8)
       SpatialLayout.joinPolygons(s, root, nationPolygons(s, d), col("ring"))
         .select("c_custkey", "n_nationkey")
@@ -1023,8 +1066,8 @@ object SparkEntry {
     // idempotent lineage-carrying wave; the result is bit-identical to
     // the in-memory walk (same oracle builder as q99, 3 iterations)
     "q104_pagerank_resumable" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q104").toString
-      Graph.pageRankResumable(tbl(s, d, "orders")
+      val dir = scratch(s, "graft_q104")
+      Graph.pageRankResumable(tblRaw(s, d, "orders")
           .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst")),
         "src", "dst", iterations = 3, root = dir, table = "ranks")
     }),
@@ -1035,10 +1078,10 @@ object SparkEntry {
     // over the raw table (compact itself re-proves the row total against
     // the manifest before flipping CURRENT)
     "q105_snapshot_compact" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q105").toString
+      val root = scratch(s, "graft_q105")
       val wave = pmod(
         conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long"), lit(4))
-      graft.snap.SnapshotCatalog.resumableRunBy(s, tbl(s, d, "orders"), wave, 4, root, "ords") {
+      graft.snap.SnapshotCatalog.resumableRunBy(s, tblRaw(s, d, "orders"), wave, 4, root, "ords") {
         df => df.select(col("o_orderkey"), col("o_custkey"))
       }
       graft.snap.SnapshotCatalog.compact(s, root, "ords",
@@ -1063,7 +1106,7 @@ object SparkEntry {
     // from doc_id%3==0, wave 1 screens the rest against the committed
     // survivors + smaller-keyed batch docs (agreement >= 4 of 8)
     "q107_incremental_dedup" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q107").toString
+      val root = scratch(s, "graft_q107")
       val docs = tbl(s, d, "documents")
       Dedup.incrementalMinhash(docs.where(col("doc_id") % 3 === 0),
         "doc_id", "text", bands = 4, rowsPerBand = 2, minAgree = 4, root, "sigs", 0)
@@ -1129,7 +1172,10 @@ object SparkEntry {
     // shape is pinned in PlanAuditSpec: equi-joins only, no cartesian,
     // no window over the capture table.
     "q116_crawl_front_door" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      // docs feeds FIVE branches (two capture variants, robots, delays,
+      // sitemaps): materialize the fanned read once so each branch reads
+      // the blocks instead of re-running the scan+fan exchange 5×
+      val docs = tbl(s, d, "documents").localCheckpoint(true)
       val v = pmod(Sketches.portableHash52(col("source")), lit(3))
       // four path families so every robots rule fires; unique per doc so
       // revisit collapse merges only a page's own capture variants
@@ -1277,38 +1323,38 @@ object SparkEntry {
 
     // ---- grouping sets & set ops ------------------------------------------
     "q31_cube_orders" -> ((s, d) =>
-      tbl(s, d, "orders")
+      tblRaw(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
 
     "q32_union_sources" -> ((s, d) =>
-      tbl(s, d, "documents").select(col("source").as("v"))
-        .union(tbl(s, d, "events").select(col("event_type").as("v")))
+      tblRaw(s, d, "documents").select(col("source").as("v"))
+        .union(tblRaw(s, d, "events").select(col("event_type").as("v")))
         .distinct()),
 
     // ---- join variants / set ops / signatures (round-out coverage) --------
     "q33_semi_join" -> ((s, d) => {
-      val c = tbl(s, d, "customer"); val o = tbl(s, d, "orders")
+      val c = tblRaw(s, d, "customer"); val o = tblRaw(s, d, "orders")
       c.join(o.where(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")
     }),
 
     "q34_anti_join" -> ((s, d) => {
-      val c = tbl(s, d, "customer"); val o = tbl(s, d, "orders")
+      val c = tblRaw(s, d, "customer"); val o = tblRaw(s, d, "orders")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey")
     }),
 
     "q35_rollup_lineitem" -> ((s, d) =>
-      tbl(s, d, "lineitem")
+      tblRaw(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("qty"))),
 
     "q36_except_sources" -> ((s, d) =>
-      tbl(s, d, "documents").select(col("source").as("v")).distinct()
-        .except(tbl(s, d, "events").select(col("event_type").as("v")).distinct())),
+      tblRaw(s, d, "documents").select(col("source").as("v")).distinct()
+        .except(tblRaw(s, d, "events").select(col("event_type").as("v")).distinct())),
 
     "q37_minhash_signatures" -> ((s, d) =>
       Dedup.minhashLong(tbl(s, d, "documents").where(col("doc_id") < 50), "doc_id", "text", 4)),
@@ -1326,7 +1372,7 @@ object SparkEntry {
 
     "q40_window_rank_value" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
-      tbl(s, d, "events")
+      tblRaw(s, d, "events")
         .select(col("event_type"), col("event_id"),
           rank().over(w).cast("long").as("rnk"),
           first(col("event_id")).over(w).as("top_event"))
@@ -1380,7 +1426,7 @@ object SparkEntry {
     "q73_warc_roundtrip" -> ((s, d) => {
       val pages = PagesFromDocs(tbl(s, d, "documents"))
         .select(col("url"), col("warc_ts"), col("html"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_q73").toString
+      val dir = scratch(s, "graft_q73")
       graft.sources.Warc.writePages(pages.repartition(4), dir, gzip = true)
       graft.sources.Warc.readPages(s, dir)
         .join(pages.select(col("url"), col("warc_ts").as("__ts0"),
@@ -1398,7 +1444,7 @@ object SparkEntry {
     "q110_warc_index_seek" -> ((s, d) => {
       val pages = PagesFromDocs(tbl(s, d, "documents"))
         .select(col("url"), col("warc_ts"), col("html"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_q110").toString
+      val dir = scratch(s, "graft_q110")
       graft.sources.Warc.writePages(pages.repartition(4), dir, gzip = false)
       val index = graft.sources.Warc.indexPages(s, dir)
       graft.sources.Warc.readRecordsAt(index)
@@ -1443,10 +1489,10 @@ object SparkEntry {
       // engine-side lineage counters per wave independently. inputRows is
       // carried per PARTITION lineage row (duplicated within a wave) →
       // max, not sum; outputRows are per-partition → sum.
-      val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
+      val root = scratch(s, "graft_q43")
       val wave = pmod(
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(4))
-      graft.snap.SnapshotCatalog.resumableRunBy(s, tbl(s, d, "documents"), wave, 4, root, "docs") {
+      graft.snap.SnapshotCatalog.resumableRunBy(s, tblRaw(s, d, "documents"), wave, 4, root, "docs") {
         df => df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
       }
       graft.snap.SnapshotCatalog.lineage(s, root, "docs")
@@ -1468,7 +1514,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
 
     "q46_distinct_aggs" -> ((s, d) =>
-      tbl(s, d, "lineitem")
+      tblRaw(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_partkey")).as("n_part"),

@@ -406,40 +406,40 @@ object Curation {
     // (the q57/q116 convention) — long-lived sessions release them via
     // GraftBridge.releaseCheckpointBlocks after the last action.
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val base = ckpt(docs.select(col(key).as("__k"), col(text).as("__txt"),
-      col(source).as("__src")))
 
     def drops(df: DataFrame, stage: String): DataFrame =
       df.select(col("__k"), col("__src"), lit(stage).as("stage"),
         lit(null).cast("string").as("split"))
 
-    // 1. language
-    val lang = TextAnalysis.langId(base, "__k", "__txt")
-      .where(col("pred_lang").isInCollection(keepLangs)).select(col("__k"))
-    val s1 = base.join(lang, Seq("__k"), "left_semi")
-    val d1 = drops(base.join(lang, Seq("__k"), "left_anti"), "lang")
-
-    // 2. quality (integer-exact: counts and a cross-multiplied ratio);
-    // the scored frame q is the frontier here (s2 is its cheap filter)
+    // 1+2. language and quality are BOTH scan-side signals: score them in
+    // ONE pass over the input and checkpoint that single frontier — the
+    // former shape paid a separate base checkpoint plus semi/anti key
+    // joins per stage where plain filters on the scored frame suffice
+    // (stage semantics unchanged: quality drops are judged among
+    // in-language docs only, which filters express directly)
     val sw = TextAnalysis.LangStopwords.flatMap(_._2).distinct
-    val q = ckpt(s1
+    val q = ckpt(TextAnalysis.langIdWith(
+        docs.select(col(key).as("__k"), col(text).as("__txt"),
+          col(source).as("__src")), "__txt")
       .withColumn("__nt", size(split(col("__txt"), " ")).cast("long"))
       .withColumn("__sw",
         size(filter(split(lower(col("__txt")), " "), t => t.isInCollection(sw)))
           .cast("long")))
+    val okLang = col("pred_lang").isInCollection(keepLangs)
     val okQ = col("__nt") >= minTokens &&
       col("__sw") * 100 >= col("__nt") * minStopPct
-    val s2 = q.where(okQ).drop("__nt", "__sw")
-    val d2 = drops(q.where(!okQ), "quality")
+    val d1 = drops(q.where(!okLang), "lang")
+    val d2 = drops(q.where(okLang && !okQ), "quality")
+    val s2 = q.where(okLang && okQ)
+      .drop("pred_lang", "best_score", "__nt", "__sw")
 
-    // 3. exact dedup among survivors: min-key per digest survives; the
-    // digest-carrying frame is the frontier (3 references)
-    val dg = ckpt(s2.withColumn("__dg", md5(col("__txt").cast("binary"))))
+    // 3. exact dedup among survivors: min-key per digest survives; ONE
+    // digest join materialized, survivors/drops are filters over it
+    val dg = s2.withColumn("__dg", md5(col("__txt").cast("binary")))
     val keep3 = dg.groupBy("__dg").agg(min(col("__k")).as("__keep"))
-    val s3 = ckpt(dg.join(keep3, "__dg").where(col("__k") === col("__keep"))
-      .drop("__dg", "__keep"))
-    val d3 = drops(dg.join(keep3, "__dg").where(col("__k") =!= col("__keep")),
-      "exact_dup")
+    val j3 = ckpt(dg.join(keep3, "__dg"))
+    val s3 = ckpt(j3.where(col("__k") === col("__keep")).drop("__dg", "__keep"))
+    val d3 = drops(j3.where(col("__k") =!= col("__keep")), "exact_dup")
 
     // 4. near-dup components among survivors: min-key canonical survives
     val pairs = Dedup.minhashLsh(s3, "__k", "__txt", bands, rowsPerBand, threshold)
@@ -449,15 +449,18 @@ object Curation {
     val d4 = drops(s3.join(drop4, Seq("__k"), "left_semi"), "near_dup")
 
     // 5. benchmark decontamination (benchmark must carry the SAME text
-    // column name as docs; normalized here to the internal name)
+    // column name as docs; normalized here to the internal name).
+    // hit5 feeds both the anti and the semi join — materialize it once or
+    // the whole corpus-side gram explode+probe pipeline runs twice
     val bench = benchmark.select(col(text).as("__txt"))
     val hit5 = decontaminate(s4, bench, "__k", "__txt", nGram)
-      .select(col("__k"))
+      .select(col("__k")).localCheckpoint(true)
     val s5 = ckpt(s4.join(hit5, Seq("__k"), "left_anti"))
     val d5 = drops(s4.join(hit5, Seq("__k"), "left_semi"), "contaminated")
 
-    // 6. per-source cap
-    val s6 = capPerGroup(s5, "__src", "__k", capPerSource, capSalt)
+    // 6. per-source cap — kept set feeds the split branch and the anti
+    // join; materialize once (the slots aggregate otherwise runs twice)
+    val s6 = ckpt(capPerGroup(s5, "__src", "__k", capPerSource, capSalt))
     val d6 = drops(s5.join(s6.select("__k"), Seq("__k"), "left_anti"), "capped")
 
     // 7. leakage-safe split for the kept set

@@ -68,7 +68,9 @@ object Dedup {
         .withColumn("component", col("key"))
         .localCheckpoint(true)
       var changed = 1L
+      var round = 0
       while (changed > 0) {
+        round += 1
         // neighbour labels: for each key, the min label among its neighbours
         val viaEdges = edges
           .join(labels.withColumnRenamed("key", "dst"), "dst")
@@ -79,18 +81,28 @@ object Dedup {
           .join(labels.select(col("key").as("component"), col("component").as("__jmp")),
             Seq("component"))
           .select(col("key"), col("__jmp"))
+        // convergence check rides the SAME action that materializes the
+        // round (observe on the checkpoint job): the old label is already
+        // on the row being rewritten, so the former extra join-back +
+        // count() pass per round bought nothing
+        val obs = org.apache.spark.sql.Observation(s"cc_${round}_${System.nanoTime()}")
         val next = labels.join(viaEdges, Seq("key"), "left_outer")
           .join(jump, Seq("key"), "left_outer")
           .select(col("key"),
             least(col("component"),
               coalesce(col("__nbr"), col("component")),
-              coalesce(col("__jmp"), col("component"))).as("component"))
+              coalesce(col("__jmp"), col("component"))).as("__new"),
+            col("component").as("__old"))
+          .observe(obs, sum(when(col("__new") =!= col("__old"), 1L).otherwise(0L)).as("chg"))
+          .select(col("key"), col("__new").as("component"))
           .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("component", "__old"), "key")
-          .where(col("component") =!= col("__old")).count()
+        changed = obs.get("chg") match {
+          case null => 0L // empty label set
+          case n => n.asInstanceOf[Long]
+        }
         // release the superseded round's checkpoint blocks NOW (nothing
-        // references them once `changed` is counted); .unpersist() would
-        // be a no-op on a checkpointed frame
+        // references them once the round is materialized); .unpersist()
+        // would be a no-op on a checkpointed frame
         org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(labels)
         labels = next
       }
@@ -189,7 +201,11 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sets = shingleSets(df, key, text).persist()
     try {
+      // materialize the band keys ONCE: both sides of the candidate
+      // self-join read them, and without this the minhash aggregate +
+      // band groupBy over the (persisted) shingle sets ran twice
       val bandKeys = bandKeysOf(minhashLongFromSets(sets, key, numHashes), key, rowsPerBand)
+        .localCheckpoint(true)
       val a = bandKeys.select(col(key).as("key_a"), col("band"), col("band_key"))
       val b = bandKeys.select(col(key).as("key_b"), col("band"), col("band_key"))
       val cand = a.join(b, Seq("band", "band_key"))
@@ -198,13 +214,18 @@ object Dedup {
       // verify with exact Jaccard over the SAME cached shingle sets
       val sa = sets.select(col(key).as("key_a"), col("sh").as("sh_a"))
       val sb = sets.select(col(key).as("key_b"), col("sh").as("sh_b"))
-      cand.join(sa, "key_a").join(sb, "key_b")
+      val out = cand.join(sa, "key_a").join(sb, "key_b")
         .withColumn("jaccard", round(
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))), 4))
         .where(col("jaccard") >= threshold)
         .select("key_a", "key_b", "jaccard")
         .localCheckpoint(true)
+      // the pairs output is materialized above, so the band-key blocks
+      // are unreachable from the returned plan — release them here
+      // (a caller-side sweep could never find them)
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(bandKeys)
+      out
     } finally sets.unpersist(false)
   }
 
@@ -251,23 +272,34 @@ object Dedup {
       s"minAgree must be in [1, numHashes=$numHashes] (got $minAgree)")
     val newSigs = minhashLong(newDocs, key, text, numHashes).persist()
     try {
-      val priorSigs = SnapshotCatalog.currentManifest(root, table)
+      // fresh-table waves (the bootstrap) have NO corpus side: skip the
+      // prior read / anti-join / union entirely instead of planning them
+      // against an empty frame (the wave-0 plan halves). A rerun of an
+      // already-committed wave sees the manifest and takes the full path.
+      val prior = SnapshotCatalog.currentManifest(root, table)
         .map(_ => SnapshotCatalog.read(spark, root, table))
-        .getOrElse(newSigs.limit(0))
-      val nb = bandKeysOf(newSigs, key, rowsPerBand)
-      val pb = bandKeysOf(priorSigs, key, rowsPerBand)
-        .select(col(key).as("__pkey"), col("band"), col("band_key"))
+      // band keys are read by the candidate join AND the prior-side union:
+      // materialize them once (4 narrow rows per doc)
+      val nb = bandKeysOf(newSigs, key, rowsPerBand).localCheckpoint(true)
       val nbAsPrior = nb.select(col(key).as("__pkey"), col("band"), col("band_key"))
-      // the corpus branch excludes self-pairs: on a crash-and-rerun of an
-      // already-committed wave, a doc's OWN signatures are in the table
-      // and would otherwise match it against itself
-      val cand = nb.join(pb, Seq("band", "band_key"))
-        .where(col("__pkey") =!= col(key))
+        .withColumn("__batch", lit(true))
+      // ONE band equi-join against the flagged union of both prior kinds
+      // (corpus rows + smaller-keyed batch rows) instead of two joins +
+      // union: the corpus branch excludes self-pairs (on a crash-and-rerun
+      // of a committed wave a doc's OWN signatures are in the table and
+      // would otherwise match it against itself), the batch branch keeps
+      // smaller keys only
+      val priorBand = prior.map(p =>
+        bandKeysOf(p, key, rowsPerBand)
+          .select(col(key).as("__pkey"), col("band"), col("band_key"))
+          .withColumn("__batch", lit(false))
+          .unionByName(nbAsPrior)).getOrElse(nbAsPrior)
+      val cand = nb.join(priorBand, Seq("band", "band_key"))
+        .where(when(col("__batch"), col("__pkey") < col(key))
+          .otherwise(col("__pkey") =!= col(key)))
         .select(col(key), col("__pkey"))
-        .unionByName(nb.join(nbAsPrior, Seq("band", "band_key"))
-          .where(col("__pkey") < col(key))
-          .select(col(key), col("__pkey")))
         .distinct()
+        .localCheckpoint(true) // read twice below (candKeys + the pair join)
       // agreement count per candidate pair: equal min_hash at equal h_idx,
       // priors drawn from the corpus table AND this batch's own signatures.
       // The prior side is semi-join-pruned to CANDIDATE keys first (the
@@ -288,9 +320,9 @@ object Dedup {
       // threshold" test). Both prunes are broadcast-sized: candidates are
       // band-match-bounded, batch keys are one wave.
       val candKeys = cand.select("__pkey").distinct()
-      val ps = priorSigs
-        .join(broadcast(newSigs.select(col(key)).distinct()), Seq(key), "left_anti")
-        .unionByName(newSigs)
+      val ps = prior.map(_
+          .join(broadcast(newSigs.select(col(key)).distinct()), Seq(key), "left_anti")
+          .unionByName(newSigs)).getOrElse(newSigs)
         .select(col(key).as("__pkey"), col("h_idx"), col("min_hash").as("__ph"))
         .join(broadcast(candKeys), Seq("__pkey"), "left_semi")
       val dups = cand
@@ -306,6 +338,10 @@ object Dedup {
       val survivors = decisions.where(!col("is_dup")).select(col(key))
       SnapshotCatalog.commitWave(spark,
         newSigs.join(survivors, Seq(key), "left_semi"), wave, root, table)(identity)
+      // decisions are materialized above — the nb/cand scratch blocks are
+      // unreachable from the returned plan, so release them here
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(nb)
+      org.apache.spark.sql.GraftBridge.releaseCheckpointBlocks(cand)
       decisions
     } finally newSigs.unpersist(false)
   }
@@ -358,7 +394,16 @@ object Dedup {
     }
     val bandCols = (0 until nb).map(i =>
       struct(lit(i).as("band"), bandVal(col("simhash"), i).as("bv")))
-    val banded = sh
+    // materialize the signature frame ONCE: both sides of the band
+    // self-join below read it, and without this the full signature
+    // aggregate (explode + md5 + 16/64 vote sums over every token) runs
+    // TWICE — measured as the whole first stage duplicated in q14/q53
+    // plans. Signatures are (key, long) rows — tiny at any corpus size
+    // relative to the text they summarize. OWNERSHIP: the returned frame
+    // rides these blocks (q57-convention); callers release via
+    // GraftBridge.releaseCheckpointBlocks after the last action.
+    val sigs = sh.localCheckpoint(true)
+    val banded = sigs
       .select(col(key), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col(key), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     val a = banded.select(col(key).as("key_a"), col("simhash").as("sim_a"), col("band"), col("bv"))
@@ -436,26 +481,36 @@ object Dedup {
    * (SCALE.md: this operator is the exact-small-corpus path). */
   def ngramJaccard(df: DataFrame, key: String, text: String, threshold: Double,
       maxDocFreq: Int = 128): DataFrame = {
+    // the tokenized/shingled corpus is referenced THREE times (the pair
+    // generation plus both sides of the size join-back) — persist it once
+    // or the tokenizer+shingler (the dominant regex cost) runs 3×, the
+    // same share-the-shingles shape minhashLsh uses. The (small) pair
+    // output is materialized eagerly so the persist has a deterministic
+    // release point; callers release the output's blocks as usual.
     val sets = df.withColumn("__ts", TextAnalysis.tokens(col(text)))
       .select(col(key), TextAnalysis.shinglesOf(col("__ts")).as("sh"))
-    val sizes = sets.select(col(key), size(col("sh")).cast("long").as("n"))
-    val ex = sets.select(col(key), explode_outer(col("sh")).as("s"))
-      .where(col("s").isNotNull) // see minhashLong: avoids constraint-pushdown re-evaluation
-    val grouped = ex.groupBy("s").agg(sort_array(collect_list(col(key))).as("ks"))
-    val capped =
-      if (maxDocFreq == Int.MaxValue) grouped else grouped.where(size(col("ks")) <= maxDocFreq)
-    // all ordered pairs (ks(i), ks(j)) with i < j, emitted per shingle
-    val pairs = capped.select(explode(flatten(transform(col("ks"), (a, i) =>
-      transform(slice(col("ks"), i + 2, size(col("ks"))), b => struct(a.as("key_a"), b.as("key_b")))
-    ))).as("p")).select(col("p.key_a"), col("p.key_b"))
-    val inter = pairs.groupBy("key_a", "key_b").agg(count(lit(1)).as("inter"))
-    val na = sizes.select(col(key).as("key_a"), col("n").as("n_a"))
-    val nb = sizes.select(col(key).as("key_b"), col("n").as("n_b"))
-    inter.join(na, "key_a").join(nb, "key_b")
-      .withColumn("jaccard", round(
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("key_a", "key_b", "jaccard")
+      .persist()
+    try {
+      val sizes = sets.select(col(key), size(col("sh")).cast("long").as("n"))
+      val ex = sets.select(col(key), explode_outer(col("sh")).as("s"))
+        .where(col("s").isNotNull) // see minhashLong: avoids constraint-pushdown re-evaluation
+      val grouped = ex.groupBy("s").agg(sort_array(collect_list(col(key))).as("ks"))
+      val capped =
+        if (maxDocFreq == Int.MaxValue) grouped else grouped.where(size(col("ks")) <= maxDocFreq)
+      // all ordered pairs (ks(i), ks(j)) with i < j, emitted per shingle
+      val pairs = capped.select(explode(flatten(transform(col("ks"), (a, i) =>
+        transform(slice(col("ks"), i + 2, size(col("ks"))), b => struct(a.as("key_a"), b.as("key_b")))
+      ))).as("p")).select(col("p.key_a"), col("p.key_b"))
+      val inter = pairs.groupBy("key_a", "key_b").agg(count(lit(1)).as("inter"))
+      val na = sizes.select(col(key).as("key_a"), col("n").as("n_a"))
+      val nb = sizes.select(col(key).as("key_b"), col("n").as("n_b"))
+      inter.join(na, "key_a").join(nb, "key_b")
+        .withColumn("jaccard", round(
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+        .where(col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+        .localCheckpoint(true)
+    } finally sets.unpersist(false)
   }
 
   /**

@@ -346,6 +346,28 @@ object SnapshotCatalog {
   /** What [[compact]] did. */
   final case class CompactStats(dirsBefore: Int, filesBefore: Int, filesAfter: Int, rows: Long)
 
+  /** Row count of one parquet file from its footer — a driver-side
+   * metadata read (no Spark job, no data pages). */
+  private def footerRows(conf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Per-file (pid, rows) for a just-written data dir, zero-row files
+   * skipped (lineage rows exist exactly for partitions that hold data —
+   * the same contract the former shape had). Replaces the read-back
+   * Spark job (full scan + shuffle + collect PER COMMIT — at 64 waves
+   * that was one extra pass over every written byte) with driver-side
+   * footer metadata reads. */
+  private def fileRows(spark: SparkSession, dir: Path): Seq[(Int, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    parquetFiles(dir).sortBy(_.getFileName.toString)
+      .map(f => footerRows(conf, f))
+      .zipWithIndex.collect { case (n, i) if n > 0 => (i, n) }
+  }
+
   private[snap] def parquetFiles(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Nil
     else {
@@ -401,7 +423,12 @@ object SnapshotCatalog {
     val dataDir = s"data/snap-$snapId"
     val target = dir.resolve(dataDir)
     rewritten.write.mode("overwrite").parquet(target.toString)
-    val rows = spark.read.parquet(target.toString).count()
+    // row-total proof from the written footers (metadata only — the
+    // former spark.read.count() launched a full read-back job)
+    val rows = {
+      val conf = spark.sessionState.newHadoopConf()
+      parquetFiles(target).map(f => footerRows(conf, f)).sum
+    }
     val expected = m.rowsPerWave.values.sum
     require(rows == expected,
       s"compaction rewrote $rows rows but the manifest committed $expected " +
@@ -448,12 +475,12 @@ object SnapshotCatalog {
     val target = tableDir(root, table).resolve(dataDir)
     out.write.mode("overwrite").parquet(target.toString)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    // per-partition lineage: group output by its physical partition
+    // per-partition lineage from the written files' parquet footers —
+    // metadata only, no read-back job (guide §1: don't re-scan what you
+    // just wrote to count it)
     val inRows = obs.get("in_rows").asInstanceOf[Long]
-    val written = spark.read.parquet(target.toString)
-    val perPart = written.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => LineageRow(wave, r.getInt(0), inRows, r.getLong(1), wallMs))
+    val perPart = fileRows(spark, target)
+      .map { case (pid, n) => LineageRow(wave, pid, inRows, n, wallMs) }
     val outRows = perPart.map(_.outputRows).sum
     val linFile = writeLineageSidecar(root, table, snapId, perPart.toSeq)
     val m = Manifest(
@@ -490,10 +517,20 @@ object SnapshotCatalog {
       root: String,
       table: String)(transform: DataFrame => DataFrame): Int = {
     var ran = 0
-    (0 until waves).foreach { w =>
-      val waveIn = input.where(waveCol === w)
-      if (commitWave(spark, waveIn, w, root, table)(transform)) ran += 1
-    }
+    // one materialization of the input feeds every wave's filter: the
+    // former shape re-ran the full input scan (plus whatever upstream
+    // plan produced it) once PER WAVE — waves× passes over the source.
+    // MEMORY_AND_DISK spills rather than evicts at scale; for inputs too
+    // large to spill once, [[resumableRunSinglePass]] is the one-scan
+    // shape. Unpersisted before return: every wave is durable in storage,
+    // so nothing downstream references these blocks.
+    val cached = input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until waves).foreach { w =>
+        val waveIn = cached.where(waveCol === w)
+        if (commitWave(spark, waveIn, w, root, table)(transform)) ran += 1
+      }
+    } finally cached.unpersist(false)
     ran
   }
 
@@ -549,12 +586,9 @@ object SnapshotCatalog {
       val dataDir = s"$stage/__wave=$w"
       val waveDirPath = stageDir.resolve(s"__wave=$w")
       val perPart =
-        if (!Files.exists(waveDirPath)) Array.empty[LineageRow] // empty wave
-        else spark.read.parquet(waveDirPath.toString)
-          .groupBy(spark_partition_id().as("pid"))
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => LineageRow(w, r.getInt(0),
-            inRows(s"in_$w").asInstanceOf[Long], r.getLong(1), wallMs))
+        if (!Files.exists(waveDirPath)) Seq.empty[LineageRow] // empty wave
+        else fileRows(spark, waveDirPath).map { case (pid, n) =>
+          LineageRow(w, pid, inRows(s"in_$w").asInstanceOf[Long], n, wallMs) }
       val prev = currentManifest(root, table)
       val snapId = prev.map(_.snapshotId + 1).getOrElse(0L)
       val linFile = writeLineageSidecar(root, table, snapId, perPart.toSeq)
