@@ -83,6 +83,11 @@ object BenchExtra {
         dt
       }
       println(f"EXTRA $name min=${times.min}%.3f")
+      if (sys.env.contains("GRAFT_JOBLOG")) {
+        val infos = s.sparkContext.getRDDStorageInfo
+        val mb = infos.map(i => i.memSize + i.diskSize).sum / 1e6
+        println(f"STORAGE after $name: ${infos.length} rdds ${mb}%.1f MB")
+      }
     }
     s.stop()
   }

@@ -136,12 +136,24 @@ object Engine {
     val nodeCols = Seq("node_id", "parent_id", "depth", "kind", "name", "attrs",
       "start_byte", "end_byte", "start_row", "start_col", "end_row", "end_col",
       "path", "children_count")
+    // the parsed node table feeds FOUR references below (entries rides
+    // both the loc and lastmod joins, texts rides both too): materialize
+    // it ONCE or the XML parse generator runs once per reference. Text
+    // payloads are sliced out eagerly here so the checkpoint carries one
+    // decoded string per text node instead of the full XML bytes per
+    // node row. OWNERSHIP: the returned frame rides these blocks
+    // (q57-convention); callers release after the last action.
     val nd = sitemaps
       .select(col(hostCol).as("host"), col(xmlCol).cast("binary").as("__xb"))
       .distinct()
       .withColumn("__rid", xxhash64(col("host"), col("__xb")))
       .select(col("host"), col("__rid"), col("__xb"),
         parse_html_nodes(col("__xb")).as(nodeCols))
+      .select(col("host"), col("__rid"), col("node_id"), col("parent_id"),
+        col("kind"), col("name"),
+        when(col("kind") === "text", trim(utf8_decode_replace(
+          expr("substring(__xb, start_byte + 1, end_byte - start_byte)")))).as("__t"))
+      .localCheckpoint(true)
     // per <url> entry: its loc element id and (optional) lastmod id
     val entries = nd.where(col("kind") === "element" &&
         (col("name") === "loc" || col("name") === "lastmod"))
@@ -151,9 +163,7 @@ object Engine {
         min(when(col("name") === "lastmod", col("node_id"))).as("lastmod_id"))
       .where(col("loc_id").isNotNull)
     val texts = nd.where(col("kind") === "text")
-      .select(col("__rid"), col("host"), col("parent_id"),
-        trim(utf8_decode_replace(
-          expr("substring(__xb, start_byte + 1, end_byte - start_byte)"))).as("__t"))
+      .select(col("__rid"), col("host"), col("parent_id"), col("__t"))
     val locs = texts.join(entries,
         col("__rid") === col("erid") && col("parent_id") === col("loc_id"))
       .select(col("__rid").as("r1"), col("entry_id").as("e1"),
@@ -191,7 +201,14 @@ object Engine {
    * @return (url, main_tag, start_byte, end_byte, content_len, anchor_len)
    */
   def mainContent(pages: DataFrame): DataFrame = {
+    // the node table feeds three branches (text spans, anchors, block
+    // candidates): materialize the slim projection once or the HTML parse
+    // generator runs per branch. OWNERSHIP: returned frame rides these
+    // blocks; callers release after the last action (q57-convention).
     val nd = nodes(pages)
+      .select(col("url"), col("kind"), col("name"),
+        col("start_byte"), col("end_byte"))
+      .localCheckpoint(true)
     val texts0 = nd.where(col("kind") === "text")
       .select(col("url").as("turl"), col("start_byte").as("ts"), col("end_byte").as("te"))
     val anchors = nd.where(col("kind") === "element" && col("name") === "a")
@@ -313,9 +330,14 @@ object Engine {
    * `containerName` (the exclude_class_methods shape, P6/J4,
    * tools/analysis.py:287-305). */
   def excludeWithin(nodeDf: DataFrame, containerName: String): DataFrame = {
-    val containers = nodeDf.where(col("name") === containerName)
+    // both the container extraction and the anti-join's left side read
+    // nodeDf: materialize it once or the upstream (typically a full HTML
+    // parse) runs per reference. OWNERSHIP: the returned frame rides the
+    // blocks; callers release after the last action (q57-convention).
+    val nd = nodeDf.localCheckpoint(true)
+    val containers = nd.where(col("name") === containerName)
       .select(col("url").as("__curl"), col("start_byte").as("__cs"), col("end_byte").as("__ce"))
-    nodeDf.join(containers,
+    nd.join(containers,
       col("url") === col("__curl") && col("name") =!= containerName &&
         col("start_byte") > col("__cs") && col("start_byte") < col("__ce"),
       "left_anti")
