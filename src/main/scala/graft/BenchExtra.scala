@@ -39,6 +39,12 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // GRAFT_CODEGEN_LOG=1: surface the codegen INFO lines that flag the
+    // JVM's 8000-byte JIT huge-method cliff (CLAUDE.md gotcha)
+    if (sys.env.contains("GRAFT_CODEGEN_LOG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.INFO)
     // GRAFT_JOBLOG=1: print every Spark job's wall time + description —
     // the guide-§1 empirical view (which job eats the query) without the UI
     if (sys.env.contains("GRAFT_JOBLOG")) {
@@ -51,6 +57,19 @@ object BenchExtra {
           val st = t0.remove(j.jobId)
           if (st != null) println(
             f"JOB ${j.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = for {a <- i.completionTime; b <- i.submissionTime} yield (a - b) / 1e3
+          val cpu = i.taskMetrics.executorRunTime / 1e3
+          if (wall.exists(_ > 0.05)) {
+            println(
+              f"  STAGE ${i.stageId}%4d wall=${wall.get}%6.3f taskSum=${cpu}%7.3f tasks=${i.numTasks}%3d  ${i.name.takeWhile(_ != '\n')}")
+            if (i.numTasks == 1 && wall.exists(_ > 0.1))
+              i.details.linesIterator.filter(_.contains("graft")).take(4)
+                .foreach(l => println(s"      at $l"))
+          }
         }
       })
     }

@@ -597,7 +597,7 @@ object SparkEntry {
     // counts), 2 I/O rounds; order is what ranking consumes
     "q122_hits" -> ((s, d) =>
       Graph.hits(
-        tbl(s, d, "orders").select((col("o_custkey") % 200).as("src"),
+        tblRaw(s, d, "orders").select((col("o_custkey") % 200).as("src"),
           (col("o_orderkey") % 200).as("dst")),
         "src", "dst", iterations = 2)),
 
@@ -829,14 +829,14 @@ object SparkEntry {
     // the oracle via row_number over the same portable md5-prefix hashes
     "q80_kmv_distinct" -> ((s, d) =>
       Sketches.kmvDistinct(
-        tbl(s, d, "events").withColumn("u", col("user_id").cast("string")),
+        tblRaw(s, d, "events").withColumn("u", col("user_id").cast("string")),
         Seq("event_type"), "u", k = 16)),
 
     // sketch ROLLUP: per-type sketches merged to a global estimate
     // without rescanning events — exact (bottom-k of bottom-k), so the
     // oracle is simply the direct global sketch in SQL
     "q84_kmv_rollup" -> ((s, d) => {
-      val ev = tbl(s, d, "events").withColumn("u", col("user_id").cast("string"))
+      val ev = tblRaw(s, d, "events").withColumn("u", col("user_id").cast("string"))
       Sketches.kmvMerge(
         Sketches.kmvSketch(ev, Seq("event_type"), "u", 16), Seq.empty, 16)
     }),
@@ -846,7 +846,7 @@ object SparkEntry {
     // pre-pass, integer-exact estimator replayed bit-for-bit in SQL
     "q117_minbucket_distinct" -> ((s, d) =>
       Sketches.minBucketDistinct(
-        tbl(s, d, "events").withColumn("u", col("user_id").cast("string")),
+        tblRaw(s, d, "events").withColumn("u", col("user_id").cast("string")),
         Seq("event_type"), "u", k = 256)),
 
     // banded big-x-big interval join (no broadcast side assumed): event
@@ -950,13 +950,13 @@ object SparkEntry {
     // gap-based sessionization (10-min silence = new session): per-event
     // labels via one keyed window, integer epoch-micros comparisons
     "q91_sessionize" -> ((s, d) =>
-      Sessionize.label(tbl(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 600)
+      Sessionize.label(tblRaw(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 600)
         .select("event_id", "user_id", "session_seq")),
 
     // per-session aggregates via the NATIVE session_window aggregate
     // (mergeable partial state, streaming-ready); end = last event + gap
     "q92_session_stats" -> ((s, d) =>
-      Sessionize.stats(tbl(s, d, "events"), "user_id", "ts", "value", gapSeconds = 600)),
+      Sessionize.stats(tblRaw(s, d, "events"), "user_id", "ts", "value", gapSeconds = 600)),
 
     // exact phrase search via the positional index: term-filtered postings
     // aligned on (doc, pos − offset); overlapping occurrences counted
@@ -1025,7 +1025,7 @@ object SparkEntry {
     // bit-identical under any partitioning — and in any engine (the
     // oracle unrolls the same 4 iterations in SQL)
     "q99_pagerank" -> ((s, d) =>
-      Graph.pageRank(tbl(s, d, "orders")
+      Graph.pageRank(tblRaw(s, d, "orders")
           .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst")),
         "src", "dst", iterations = 4)),
 
@@ -1039,7 +1039,7 @@ object SparkEntry {
     // by bit lengths (floorlog2(N) - floorlog2(count)) — exact in both
     // engines via the shared bin() builtin
     "q101_surprisal" -> ((s, d) =>
-      TextAnalysis.surprisal(tbl(s, d, "documents"), "doc_id", "text")),
+      TextAnalysis.surprisal(tblRaw(s, d, "documents"), "doc_id", "text")),
 
     // shoelace area + centroid over star-shaped integer rings (8 compass
     // directions, per-nation radii): CCW and positive coords by
@@ -1095,7 +1095,7 @@ object SparkEntry {
     // width 64 sketch (narrower than the 50 distinct keys, so collisions
     // — the interesting path — occur and both engines must agree on them)
     "q106_cms_counts" -> ((s, d) => {
-      val vals = tbl(s, d, "orders")
+      val vals = tblRaw(s, d, "orders")
         .select((col("o_custkey") % 50).cast("string").as("v"))
       val sk = Sketches.cmsSketch(vals, Nil, "v", depth = 3, width = 64)
       Sketches.cmsEstimate(sk, vals.distinct(), "v", depth = 3, width = 64)
@@ -1210,10 +1210,12 @@ object SparkEntry {
               "User-agent: googlebot\nDisallow: /\n\n" +
                 "User-agent: *\nCrawl-delay: 1.5\nDisallow: /tmp\n")
             .otherwise("User-agent: googlebot\nCrawl-delay: 9\nDisallow: /\n"))
+      // one robots parse feeds both the gate rules and the delay table
+      // (the former two calls each re-ran the explode + per-host window)
+      val (rules, delays) = Urls.robotsTables(robots, "source", "txt")
       val gated = Urls
-        .robotsFilter(latest, "canonical_url", Urls.robotsRules(robots, "source", "txt"))
+        .robotsFilter(latest, "canonical_url", rules)
         .where(col("fetchable"))
-      val delays = Urls.robotsCrawlDelay(robots, "source", "txt")
       // sitemaps list even docs only (a per-URL membership flag, not a
       // gate) under the SAME urls the captures canonicalize to
       val entry = concat(lit("<url><loc>"), base, lit("</loc></url>"))
@@ -1525,7 +1527,7 @@ object SparkEntry {
       // the previous event of the same user exceeds 30 minutes (lag window
       // + running conditional sum)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      tbl(s, d, "events")
+      tblRaw(s, d, "events")
         .withColumn("gap_us",
           unix_micros(col("ts").cast("timestamp")) -
             lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))

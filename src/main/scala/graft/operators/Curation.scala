@@ -276,9 +276,14 @@ object Curation {
       .select(explode(TextAnalysis.ngramsOf(col("__ts"), n)).as("__g"))
       .distinct().collect().map(_.getString(0)).toSeq
     // materialize the token array BEFORE the gram HOF (the measured 10x
-    // subexpression-elimination trap — see ngramsOf's scaladoc)
-    val hit = arrays_overlap(
-      TextAnalysis.ngramsOf(col("__curate_ts"), n), typedlit(grams))
+    // subexpression-elimination trap — see ngramsOf's scaladoc).
+    // coalesce: arrays_overlap null-propagates on NULL text, and a NULL
+    // `hit` would fail BOTH branches — the row would silently vanish
+    // from either output. NULL text cannot be contaminated, so it is
+    // not-a-hit, matching the join-based [[decontaminate]] gate (which
+    // keeps such rows); pinned in CurationSpec.
+    val hit = coalesce(arrays_overlap(
+      TextAnalysis.ngramsOf(col("__curate_ts"), n), typedlit(grams)), lit(false))
     corpus.withColumn("__curate_ts", TextAnalysis.tokens(col(textCol)))
       .where(if (keepContaminated) hit else !hit)
       .drop("__curate_ts")
@@ -405,7 +410,16 @@ object Curation {
     // monotonically. OWNERSHIP: the returned frame rides these blocks
     // (the q57/q116 convention) — long-lived sessions release them via
     // GraftBridge.releaseCheckpointBlocks after the last action.
-    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // repartition before every frontier checkpoint: stage outputs are
+    // small, so AQE coalesces them to one partition and a checkpoint
+    // would freeze that — the heavy downstream passes (minhashLsh's
+    // tokenizer over s3, the gram explode over s4) would then run
+    // single-task (the q14 lesson). On a real cluster the frontier is a
+    // written table and the next stage re-plans its own parallelism;
+    // here the explicit REPARTITION_BY_NUM (never AQE-coalesced) plays
+    // that role. Target tracks the session's shuffle parallelism.
+    val fanN = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    def ckpt(df: DataFrame): DataFrame = df.repartition(fanN).localCheckpoint(true)
 
     def drops(df: DataFrame, stage: String): DataFrame =
       df.select(col("__k"), col("__src"), lit(stage).as("stage"),

@@ -203,8 +203,12 @@ object Dedup {
     try {
       // materialize the band keys ONCE: both sides of the candidate
       // self-join read them, and without this the minhash aggregate +
-      // band groupBy over the (persisted) shingle sets ran twice
+      // band groupBy over the (persisted) shingle sets ran twice. The
+      // repartition keeps the self-join parallel — AQE coalesces the
+      // small band aggregate to one partition and the checkpoint would
+      // freeze that (the q14 single-task-join lesson)
       val bandKeys = bandKeysOf(minhashLongFromSets(sets, key, numHashes), key, rowsPerBand)
+        .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
         .localCheckpoint(true)
       val a = bandKeys.select(col(key).as("key_a"), col("band"), col("band_key"))
       val b = bandKeys.select(col(key).as("key_b"), col("band"), col("band_key"))
@@ -399,10 +403,16 @@ object Dedup {
     // aggregate (explode + md5 + 16/64 vote sums over every token) runs
     // TWICE — measured as the whole first stage duplicated in q14/q53
     // plans. Signatures are (key, long) rows — tiny at any corpus size
-    // relative to the text they summarize. OWNERSHIP: the returned frame
-    // rides these blocks (q57-convention); callers release via
+    // relative to the text they summarize. The explicit repartition
+    // matters: AQE coalesces the small aggregate output to ONE partition
+    // and a checkpoint freezes that, so the candidate join + hamming
+    // filters downstream would run single-task (measured 1.27 s of the
+    // former 1.45 s q14 total in one task). OWNERSHIP: the returned
+    // frame rides these blocks (q57-convention); callers release via
     // GraftBridge.releaseCheckpointBlocks after the last action.
-    val sigs = sh.localCheckpoint(true)
+    val sigs = sh
+      .repartition(sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .localCheckpoint(true)
     val banded = sigs
       .select(col(key), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col(key), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))

@@ -344,9 +344,20 @@ object Similarity {
       .localCheckpoint(true)
     val l = a.select(col("__cid"), col("__k").as("__lk"), col("__v").as("__lv"))
     val r = a.select(col("__cid"), col("__k").as("__rk"), col("__v").as("__rv"))
+    // degenerate-vector guard: a zero embedding gives a zero-norm
+    // denominator — under ANSI that division THROWS mid-job, and with
+    // ANSI off it yields NaN, which satisfies `NaN >= tau` under Spark's
+    // NaN-largest ordering and spuriously shadows every smaller-keyed
+    // zero-vector cluster-mate. The when() evaluates the division only
+    // for non-zero finite denominators (CaseWhen branches are lazy), so
+    // degenerate vectors never shadow and never throw; pinned in
+    // SimilaritySpec. NULL/NaN cosines fail the threshold predicate.
+    val denom = norm(col("__lv")) * norm(col("__rv"))
+    val cos = when(!isnan(denom) && denom =!= 0.0,
+      round(dot(col("__lv"), col("__rv")) / denom, 4))
     val dropped = l.join(r, "__cid")
       .where(col("__rk") < col("__lk"))
-      .where(round(cosine(col("__lv"), col("__rv")), 4) >= tau)
+      .where(!isnan(cos) && cos >= tau)
       .select(col("__lk").as("__k")).distinct()
       .withColumn("__dropped", lit(true))
     a.join(dropped, Seq("__k"), "left")

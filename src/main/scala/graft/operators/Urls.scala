@@ -182,14 +182,27 @@ object Urls {
    * files are KiB-sized, so per-host partitions are trivially small), an
    * equi-semi-join against the `*` groups. Output: (host, path, allow).
    */
-  def robotsRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
-    val withBlock = robotsBlocks(robots, hostCol, textCol)
+  def robotsRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame =
+    rulesFrom(robotsBlocks(robots, hostCol, textCol))
+
+  private def rulesFrom(withBlock: DataFrame): DataFrame =
     withBlock
       .where(col("path").isNotNull && col("path") =!= "" &&
         !col("path").contains("*") && !col("path").contains("$"))
       .join(starBlocksOf(withBlock), Seq("host", "block"), "left_semi")
       .select(col("host"), col("path"), col("is_allow").as("allow"))
       .distinct()
+
+  /** [[robotsRules]] + [[robotsCrawlDelay]] over ONE parse of the robots
+   * corpus: both consume the classified-line/group table, and a caller
+   * needing both (the q116 front door) otherwise evaluates the explode +
+   * per-host window twice. The shared blocks frame is checkpointed;
+   * OWNERSHIP: both returned frames ride the blocks (q57-convention) —
+   * release after the last action over either. */
+  def robotsTables(robots: DataFrame, hostCol: String, textCol: String):
+      (DataFrame, DataFrame) = {
+    val blocks = robotsBlocks(robots, hostCol, textCol).localCheckpoint(true)
+    (rulesFrom(blocks), delayFrom(blocks))
   }
 
   /** Classified robots lines with their group id (shared by
@@ -228,15 +241,16 @@ object Urls {
    * join `left` and coalesce to the crawler's default. Output:
    * (host, crawl_delay).
    */
-  def robotsCrawlDelay(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
-    val withBlock = robotsBlocks(robots, hostCol, textCol)
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String, textCol: String): DataFrame =
+    delayFrom(robotsBlocks(robots, hostCol, textCol))
+
+  private def delayFrom(withBlock: DataFrame): DataFrame =
     withBlock
       .where(col("delay").isNotNull && col("delay").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(starBlocksOf(withBlock), Seq("host", "block"), "left_semi")
       .groupBy(col("host"))
       .agg(min(struct(col("pos"), col("delay").cast("double").as("d"))).as("__first"))
       .select(col("host"), col("__first.d").as("crawl_delay"))
-  }
 
   /**
    * Fetchability decision for a URL table against [[robotsRules]] output:

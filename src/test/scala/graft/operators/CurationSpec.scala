@@ -304,4 +304,19 @@ class CurationSpec extends AnyFunSuite {
       .view.mapValues(_.map(_._4).toSet)
     assert(splitBySrc.values.forall(_.size == 1))
   }
+
+  test("decontaminateFilter: NULL text is not-a-hit (kept by the gate, like the join form)") {
+    // arrays_overlap null-propagates: without the coalesce a NULL-text
+    // row failed BOTH branches and silently vanished from either output
+    val corpus = Seq((1L, "alpha beta gamma delta eval set eval set"),
+      (2L, null.asInstanceOf[String]), (3L, "clean text entirely here yes"))
+      .toDF("doc_id", "text")
+    val bench = Seq("eval set eval set").toDF("text")
+    val kept = Curation.decontaminateFilter(corpus, "text", bench, "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"gate kept $kept")
+    val hits = Curation.decontaminateFilter(corpus, "text", bench, "text", n = 4,
+      keepContaminated = true).select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L), s"contaminated side $hits")
+  }
 }

@@ -276,4 +276,20 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("semDedup: zero vectors (NaN cosine) never shadow cluster-mates") {
+    // cosine(0-vector, anything) is NaN, and NaN >= tau is TRUE under
+    // Spark's NaN-largest ordering — without the isnan guard the
+    // larger-keyed zero vector here would be spuriously dropped as a
+    // "duplicate" of the smaller-keyed one
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(0.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 2.0, 3.0)), (4L, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+      kClusters = 2, iters = 1, tau = 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(2L), s"zero vectors shadowed: $out")
+    assert(out(3L) && !out(4L), s"finite duplicate handling broke: $out")
   }}
