@@ -101,7 +101,7 @@ object BenchExtra {
         println(f"EXTRA $name rep=$r sec=$dt%.3f")
         dt
       }
-      println(f"EXTRA $name min=${times.min}%.3f")
+      if (times.nonEmpty) println(f"EXTRA $name min=${times.min}%.3f")
       if (sys.env.contains("GRAFT_JOBLOG")) {
         val infos = s.sparkContext.getRDDStorageInfo
         val mb = infos.map(i => i.memSize + i.diskSize).sum / 1e6
