@@ -46,8 +46,21 @@ object SparkEntry {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    fan(s.read.parquet(s"$dir/$name.parquet"))
+  // planned-split count per (session, path): deciding fan() via df.rdd
+  // costs a physical planning pass, and most queries read the same table
+  // 2-5 times per invocation — the count is plan METADATA (file splits),
+  // not data, so caching it is safe (the fixture files are immutable for
+  // a session's lifetime)
+  private val scanSplits = new java.util.concurrent.ConcurrentHashMap[(Int, String), Int]()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    val target = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = scanSplits.computeIfAbsent((System.identityHashCode(s), path),
+      _ => df.rdd.getNumPartitions)
+    if (parts < target) df.repartition(target) else df
+  }
 
   /** Un-fanned read for queries whose per-row work is too light to repay
    * the fan-out exchange (measured: the cheap relational queries lose

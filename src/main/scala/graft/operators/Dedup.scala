@@ -76,18 +76,25 @@ object Dedup {
           .join(labels.withColumnRenamed("key", "dst"), "dst")
           .groupBy(col("src").as("key"))
           .agg(min(col("component")).as("__nbr"))
-        // pointer jump: my current label's current label
-        val jump = labels
-          .join(labels.select(col("key").as("component"), col("component").as("__jmp")),
-            Seq("component"))
-          .select(col("key"), col("__jmp"))
+        // pointer jump: my current label's current label. Round 1 skips
+        // it — labels are identity there (component == key), so the jump
+        // is provably a self-join returning each key's own label; one
+        // join per consumer saved (q57/q58/q119 all start here)
+        val withJump =
+          if (round == 1) labels.withColumn("__jmp", col("component"))
+          else {
+            val jump = labels
+              .join(labels.select(col("key").as("component"), col("component").as("__jmp")),
+                Seq("component"))
+              .select(col("key"), col("__jmp"))
+            labels.join(jump, Seq("key"), "left_outer")
+          }
         // convergence check rides the SAME action that materializes the
         // round (observe on the checkpoint job): the old label is already
         // on the row being rewritten, so the former extra join-back +
         // count() pass per round bought nothing
         val obs = org.apache.spark.sql.Observation(s"cc_${round}_${System.nanoTime()}")
-        val next = labels.join(viaEdges, Seq("key"), "left_outer")
-          .join(jump, Seq("key"), "left_outer")
+        val next = withJump.join(viaEdges, Seq("key"), "left_outer")
           .select(col("key"),
             least(col("component"),
               coalesce(col("__nbr"), col("component")),
